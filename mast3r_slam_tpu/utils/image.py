@@ -1,0 +1,85 @@
+"""Image utilities: Scharr-style gradients and resize pipeline.
+
+Gradient kernel matches /root/reference/mast3r_slam/image.py:5-41 (3x3
+Scharr /32, reflect padding) so matcher behaviour is comparable.  On TPU the
+3x3 depthwise convolution is expressed as shifts+adds, which XLA fuses into a
+single VPU loop — faster than a conv op for 3 channels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _reflect_pad_hw(img):
+    """Reflect-pad (..., H, W) by 1 on each side of H and W."""
+    return jnp.pad(
+        img,
+        [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)],
+        mode="reflect",
+    )
+
+
+def img_gradient(img):
+    """Scharr-like x/y gradients of (..., C, H, W) -> (gx, gy) same shape."""
+    p = _reflect_pad_hw(img)
+    # neighbourhood slices
+    tl = p[..., :-2, :-2]
+    tc = p[..., :-2, 1:-1]
+    tr = p[..., :-2, 2:]
+    ml = p[..., 1:-1, :-2]
+    mr = p[..., 1:-1, 2:]
+    bl = p[..., 2:, :-2]
+    bc = p[..., 2:, 1:-1]
+    br = p[..., 2:, 2:]
+    k = 1.0 / 32.0
+    gx = k * (3.0 * (tr - tl) + 10.0 * (mr - ml) + 3.0 * (br - bl))
+    gy = k * (3.0 * (bl - tl) + 10.0 * (bc - tc) + 3.0 * (br - tr))
+    return gx, gy
+
+
+# ---------------------------------------------------------------------------
+# resize pipeline (host-side, numpy/PIL) — reference mast3r_utils.py:244-278
+# ---------------------------------------------------------------------------
+
+def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False):
+    """Resize long side to `size`, crop H/W to multiples of 16.
+
+    img: float array (H, W, 3) in [0, 1].  Returns dict with
+      img: (3, h, w) normalised to [-1, 1]
+      true_shape: (1, 2) int32 [h, w]
+      unnormalized_img: (h, w, 3) uint8
+    """
+    import PIL.Image
+
+    assert size in (224, 512)
+    pil = PIL.Image.fromarray(np.uint8(np.clip(img, 0, 1) * 255))
+    W1, H1 = pil.size
+    long_edge = max(W1, H1)
+    if size == 224:
+        target = round(size * max(W1 / H1, H1 / W1))
+    else:
+        target = size
+    interp = PIL.Image.LANCZOS if long_edge > target else PIL.Image.BICUBIC
+    scale = target / long_edge
+    pil = pil.resize((int(round(W1 * scale)), int(round(H1 * scale))), interp)
+
+    W, H = pil.size
+    cx, cy = W // 2, H // 2
+    if size == 224:
+        half = min(cx, cy)
+        pil = pil.crop((cx - half, cy - half, cx + half, cy + half))
+    else:
+        halfw, halfh = ((2 * cx) // 16) * 8, ((2 * cy) // 16) * 8
+        if not square_ok and W == H:
+            halfh = int(3 * halfw / 4)
+        pil = pil.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
+
+    arr = np.asarray(pil)
+    norm = (arr.astype(np.float32) / 255.0 - 0.5) / 0.5  # ImgNorm(0.5, 0.5)
+    return dict(
+        img=np.transpose(norm, (2, 0, 1)),
+        true_shape=np.int32([[pil.size[1], pil.size[0]]]),
+        unnormalized_img=arr,
+    )
