@@ -1,0 +1,203 @@
+"""PyTorch MASt3R checkpoint -> JAX param pytree converter.
+
+Maps the reference state-dict layout (AsymmetricMASt3R, see
+/root/reference/thirdparty/mast3r/mast3r/model.py:21-37 for the loader and
+dust3r/model.py:92-99 for the dec_blocks2 duplication rule) onto the stacked
+param tree produced by :func:`mast3r_slam_tpu.models.mast3r.init_params`.
+
+Layout transforms applied here once, so apply-side code is pure matmul:
+  linear  (O, I)        -> (I, O)
+  conv    (O, I, kh, kw)-> (kh, kw, I, O)   [HWIO]
+  convT   (I, O, k, k)  -> (I, k*k*O)       [matmul + depth-to-space]
+  patch   (D, 3, P, P)  -> (P*P*3, D)       [(dy, dx, c) patch order]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+from .mast3r import ModelConfig, VIT_LARGE
+
+
+def _t(sd, k):
+    return np.asarray(sd[k], dtype=np.float32)
+
+
+def _linear(sd, prefix, bias=True):
+    p = {"w": jnp.asarray(_t(sd, prefix + ".weight").T)}
+    if bias:
+        p["b"] = jnp.asarray(_t(sd, prefix + ".bias"))
+    return p
+
+
+def _conv(sd, prefix, bias=True):
+    w = _t(sd, prefix + ".weight")  # (O, I, kh, kw)
+    p = {"w": jnp.asarray(w.transpose(2, 3, 1, 0))}
+    if bias:
+        p["b"] = jnp.asarray(_t(sd, prefix + ".bias"))
+    return p
+
+
+def _conv_t(sd, prefix):
+    w = _t(sd, prefix + ".weight")  # (I, O, k, k)
+    cin, cout, k, _ = w.shape
+    p = {"w": jnp.asarray(w.transpose(0, 2, 3, 1).reshape(cin, k * k * cout))}
+    p["b"] = jnp.asarray(_t(sd, prefix + ".bias"))
+    return p
+
+
+def _norm(sd, prefix):
+    return {
+        "w": jnp.asarray(_t(sd, prefix + ".weight")),
+        "b": jnp.asarray(_t(sd, prefix + ".bias")),
+    }
+
+
+def _enc_block(sd, prefix):
+    return {
+        "norm1": _norm(sd, prefix + ".norm1"),
+        "attn": {
+            "qkv": _linear(sd, prefix + ".attn.qkv"),
+            "proj": _linear(sd, prefix + ".attn.proj"),
+        },
+        "norm2": _norm(sd, prefix + ".norm2"),
+        "mlp": {
+            "fc1": _linear(sd, prefix + ".mlp.fc1"),
+            "fc2": _linear(sd, prefix + ".mlp.fc2"),
+        },
+    }
+
+
+def _dec_block(sd, prefix):
+    return {
+        "norm1": _norm(sd, prefix + ".norm1"),
+        "attn": {
+            "qkv": _linear(sd, prefix + ".attn.qkv"),
+            "proj": _linear(sd, prefix + ".attn.proj"),
+        },
+        "norm2": _norm(sd, prefix + ".norm2"),
+        "norm3": _norm(sd, prefix + ".norm3"),
+        "norm_y": _norm(sd, prefix + ".norm_y"),
+        "cross_attn": {
+            "q": _linear(sd, prefix + ".cross_attn.projq"),
+            "k": _linear(sd, prefix + ".cross_attn.projk"),
+            "v": _linear(sd, prefix + ".cross_attn.projv"),
+            "proj": _linear(sd, prefix + ".cross_attn.proj"),
+        },
+        "mlp": {
+            "fc1": _linear(sd, prefix + ".mlp.fc1"),
+            "fc2": _linear(sd, prefix + ".mlp.fc2"),
+        },
+    }
+
+
+def _stack(blocks):
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def _dpt(sd, prefix):
+    sc = prefix + ".dpt.scratch"
+    ap = prefix + ".dpt.act_postprocess"
+
+    def fusion(i):
+        rp = f"{sc}.refinenet{i}"
+        return {
+            "res1": {
+                "conv1": _conv(sd, rp + ".resConfUnit1.conv1"),
+                "conv2": _conv(sd, rp + ".resConfUnit1.conv2"),
+            },
+            "res2": {
+                "conv1": _conv(sd, rp + ".resConfUnit2.conv1"),
+                "conv2": _conv(sd, rp + ".resConfUnit2.conv2"),
+            },
+            "out_conv": _conv(sd, rp + ".out_conv"),
+        }
+
+    return {
+        "act1": {"conv": _conv(sd, ap + ".0.0"), "convt": _conv_t(sd, ap + ".0.1")},
+        "act2": {"conv": _conv(sd, ap + ".1.0"), "convt": _conv_t(sd, ap + ".1.1")},
+        "act3": {"conv": _conv(sd, ap + ".2.0")},
+        "act4": {"conv": _conv(sd, ap + ".3.0"), "conv2": _conv(sd, ap + ".3.1")},
+        "rn1": _conv(sd, sc + ".layer1_rn", bias=False),
+        "rn2": _conv(sd, sc + ".layer2_rn", bias=False),
+        "rn3": _conv(sd, sc + ".layer3_rn", bias=False),
+        "rn4": _conv(sd, sc + ".layer4_rn", bias=False),
+        "refine1": fusion(1),
+        "refine2": fusion(2),
+        "refine3": fusion(3),
+        "refine4": fusion(4),
+        "head": {
+            "conv1": _conv(sd, prefix + ".dpt.head.0"),
+            "conv2": _conv(sd, prefix + ".dpt.head.2"),
+            "conv3": _conv(sd, prefix + ".dpt.head.4"),
+        },
+    }
+
+
+def torch_state_dict_to_params(
+    sd: Dict[str, Any], cfg: ModelConfig = VIT_LARGE
+) -> Dict[str, Any]:
+    """sd: torch state_dict (tensors or numpy arrays) -> JAX param pytree."""
+    # allow tensors
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+
+    # dec_blocks2 fallback: duplicate dec_blocks if absent (dust3r model.py:92-99)
+    if not any(k.startswith("dec_blocks2") for k in sd):
+        for k in list(sd.keys()):
+            if k.startswith("dec_blocks."):
+                sd[k.replace("dec_blocks.", "dec_blocks2.", 1)] = sd[k]
+
+    pw = _t(sd, "patch_embed.proj.weight")  # (D, 3, P, P)
+    D = pw.shape[0]
+    patch = {
+        "w": jnp.asarray(pw.transpose(2, 3, 1, 0).reshape(-1, D)),
+        "b": jnp.asarray(_t(sd, "patch_embed.proj.bias")),
+    }
+
+    def head(i):
+        hp = f"downstream_head{i}"
+        return {
+            "dpt": _dpt(sd, hp),
+            "local_mlp": {
+                "fc1": _linear(sd, hp + ".head_local_features.fc1"),
+                "fc2": _linear(sd, hp + ".head_local_features.fc2"),
+            },
+        }
+
+    return {
+        "patch_embed": patch,
+        "enc_blocks": _stack(
+            [_enc_block(sd, f"enc_blocks.{i}") for i in range(cfg.enc_depth)]
+        ),
+        "enc_norm": _norm(sd, "enc_norm"),
+        "decoder_embed": _linear(sd, "decoder_embed"),
+        "dec_blocks": _stack(
+            [_dec_block(sd, f"dec_blocks.{i}") for i in range(cfg.dec_depth)]
+        ),
+        "dec_blocks2": _stack(
+            [_dec_block(sd, f"dec_blocks2.{i}") for i in range(cfg.dec_depth)]
+        ),
+        "dec_norm": _norm(sd, "dec_norm"),
+        "head1": head(1),
+        "head2": head(2),
+    }
+
+
+def load_torch_checkpoint(path: str, cfg: ModelConfig = VIT_LARGE):
+    """Load a reference .pth checkpoint into (params, cfg).
+
+    Parses enc/dec dims out of the stored tensors rather than eval'ing the
+    pickled arch string (the reference evals it, mast3r/model.py:27-33 —
+    we refuse to exec pickled strings).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    return torch_state_dict_to_params(sd, cfg), cfg

@@ -1,0 +1,326 @@
+"""Two-view pointmap ViT (MASt3R-class) — pure-JAX, TPU-first.
+
+Architecture replicated from the reference stack (capability, not code):
+  * siamese ViT-L encoder, 24 blocks, RoPE100
+    (/root/reference/thirdparty/mast3r/dust3r/dust3r/model.py:127-139)
+  * dual 12-block cross-attention decoder collecting all intermediates
+    (dust3r/model.py:171-196)
+  * DPT pts3d+conf head and catMLP 24-D local-descriptor head
+    (/root/reference/thirdparty/mast3r/mast3r/catmlp_dpt_head.py:42-123)
+  * exp-depth / exp-conf / L2-desc postprocess
+    (dust3r/dust3r/heads/postprocess.py:22-58)
+
+TPU design: stacked block params + lax.scan, bf16 trunk / f32 heads, fully
+batched symmetric decode (the reference loops Python-side over the batch,
+mast3r_utils.py:88-107 — here one batched program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import dpt as dpt_mod
+from .layers import (
+    decoder_block,
+    encoder_block,
+    init_decoder_block,
+    init_encoder_block,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+    mlp,
+    rope2d_tables,
+    stack_params,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    patch_size: int = 16
+    enc_embed_dim: int = 1024
+    enc_depth: int = 24
+    enc_num_heads: int = 16
+    dec_embed_dim: int = 768
+    dec_depth: int = 12
+    dec_num_heads: int = 12
+    mlp_ratio: int = 4
+    rope_base: float = 100.0
+    desc_dim: int = 24
+    feature_dim: int = 256  # DPT internal dim
+    layer_dims: Tuple[int, int, int, int] = (96, 192, 384, 768)
+    conf_offset: float = 1.0       # conf_mode=('exp', 1, inf)
+    desc_conf_offset: float = 0.0  # desc_conf_mode=('exp', 0, inf)
+    dtype: Any = jnp.bfloat16      # trunk compute dtype (heads always f32)
+
+    @property
+    def head_dim_enc(self):
+        return self.enc_embed_dim // self.enc_num_heads
+
+    @property
+    def head_dim_dec(self):
+        return self.dec_embed_dim // self.dec_num_heads
+
+    def grid(self, img_hw):
+        return (img_hw[0] // self.patch_size, img_hw[1] // self.patch_size)
+
+
+VIT_LARGE = ModelConfig()
+# Tiny trunk for tests; DPT dims stay at reference defaults because the
+# reference head is not scaled with trunk size (catmlp_dpt_head.py:104-113).
+VIT_TINY_TEST = ModelConfig(
+    enc_embed_dim=64, enc_depth=2, enc_num_heads=2,
+    dec_embed_dim=48, dec_depth=12, dec_num_heads=4,
+    dtype=jnp.float32,
+)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_params(key, cfg: ModelConfig = VIT_LARGE) -> Dict[str, Any]:
+    ks = jax.random.split(key, 12)
+    P = cfg.patch_size
+
+    def head(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        idim = cfg.enc_embed_dim + cfg.dec_embed_dim
+        out_feat = (cfg.desc_dim + 1) * P * P  # +1: desc_conf (two_confs)
+        return {
+            "dpt": dpt_mod.init_dpt(
+                k1,
+                (cfg.enc_embed_dim, cfg.dec_embed_dim, cfg.dec_embed_dim, cfg.dec_embed_dim),
+                layer_dims=cfg.layer_dims,
+                feature_dim=cfg.feature_dim,
+                last_dim=cfg.feature_dim // 2,
+                num_channels=4,
+            ),
+            "local_mlp": {
+                "fc1": init_linear(k2, idim, 4 * idim),
+                "fc2": init_linear(k3, 4 * idim, out_feat),
+            },
+        }
+
+    return {
+        "patch_embed": {
+            "w": jax.random.normal(ks[0], (P * P * 3, cfg.enc_embed_dim)) * 0.02,
+            "b": jnp.zeros((cfg.enc_embed_dim,)),
+        },
+        "enc_blocks": stack_params(
+            [
+                init_encoder_block(k, cfg.enc_embed_dim, cfg.mlp_ratio)
+                for k in jax.random.split(ks[1], cfg.enc_depth)
+            ]
+        ),
+        "enc_norm": init_layer_norm(cfg.enc_embed_dim),
+        "decoder_embed": init_linear(ks[2], cfg.enc_embed_dim, cfg.dec_embed_dim),
+        "dec_blocks": stack_params(
+            [
+                init_decoder_block(k, cfg.dec_embed_dim, cfg.mlp_ratio)
+                for k in jax.random.split(ks[3], cfg.dec_depth)
+            ]
+        ),
+        "dec_blocks2": stack_params(
+            [
+                init_decoder_block(k, cfg.dec_embed_dim, cfg.mlp_ratio)
+                for k in jax.random.split(ks[4], cfg.dec_depth)
+            ]
+        ),
+        "dec_norm": init_layer_norm(cfg.dec_embed_dim),
+        "head1": head(ks[5]),
+        "head2": head(ks[6]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def patch_positions(batch: int, grid_hw) -> jnp.ndarray:
+    """(B, N, 2) integer (y, x) positions, row-major token order."""
+    nh, nw = grid_hw
+    y = jnp.arange(nh, dtype=jnp.int32)
+    x = jnp.arange(nw, dtype=jnp.int32)
+    yy, xx = jnp.meshgrid(y, x, indexing="ij")
+    pos = jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)
+    return jnp.broadcast_to(pos, (batch, nh * nw, 2))
+
+
+def patchify(img, patch_size: int):
+    """(B, 3, H, W) -> (B, N, P*P*3) with (dy, dx, c) intra-patch order."""
+    B, C, H, W = img.shape
+    P = patch_size
+    x = img.transpose(0, 2, 3, 1)  # NHWC
+    x = x.reshape(B, H // P, P, W // P, P, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, nh, nw, P, P, C)
+    return x.reshape(B, (H // P) * (W // P), P * P * C)
+
+
+def encode_image(params, cfg: ModelConfig, img):
+    """img (B, 3, H, W) normalized to [-1, 1] -> (feat (B, N, D) f32, pos).
+
+    Reference call stack: dust3r/model.py:127-139 (_encode_image).
+    """
+    B, _, H, W = img.shape
+    grid = cfg.grid((H, W))
+    x = patchify(img.astype(cfg.dtype), cfg.patch_size)
+    x = linear(params["patch_embed"], x)
+    pos = patch_positions(B, grid)
+    rope_cs = rope2d_tables(pos, cfg.head_dim_enc, cfg.rope_base)
+
+    def step(h, bp):
+        return encoder_block(bp, h, rope_cs, cfg.enc_num_heads), None
+
+    x, _ = jax.lax.scan(step, x, params["enc_blocks"])
+    x = layer_norm(params["enc_norm"], x)
+    return x.astype(jnp.float32), pos
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode(params, cfg: ModelConfig, feat1, pos1, feat2, pos2):
+    """Dual-branch cross-attention decode (dust3r/model.py:171-191).
+
+    Returns per-branch hook tokens: (enc_out, y_h6, y_h9, y_final_normed),
+    each f32, where hooks follow dpt hooks_idx=[0, 6, 9, 12]
+    (catmlp_dpt_head.py:115).
+    """
+    f1 = linear(params["decoder_embed"], feat1.astype(cfg.dtype))
+    f2 = linear(params["decoder_embed"], feat2.astype(cfg.dtype))
+    rope1 = rope2d_tables(pos1, cfg.head_dim_dec, cfg.rope_base)
+    rope2 = rope2d_tables(pos2, cfg.head_dim_dec, cfg.rope_base)
+
+    blocks = {"b1": params["dec_blocks"], "b2": params["dec_blocks2"]}
+
+    def step(carry, bp):
+        f1, f2 = carry
+        nf1 = decoder_block(bp["b1"], f1, f2, rope1, rope2, cfg.dec_num_heads)
+        nf2 = decoder_block(bp["b2"], f2, f1, rope2, rope1, cfg.dec_num_heads)
+        return (nf1, nf2), (nf1, nf2)
+
+    (_, _), (ys1, ys2) = jax.lax.scan(step, (f1, f2), blocks)
+
+    # hooks [0, 6, 9, 12] over [enc, blk1..blk12]; only the last is dec-normed
+    h6_1, h9_1 = ys1[5].astype(jnp.float32), ys1[8].astype(jnp.float32)
+    h6_2, h9_2 = ys2[5].astype(jnp.float32), ys2[8].astype(jnp.float32)
+    hf_1 = layer_norm(params["dec_norm"], ys1[-1]).astype(jnp.float32)
+    hf_2 = layer_norm(params["dec_norm"], ys2[-1]).astype(jnp.float32)
+    return (feat1, h6_1, h9_1, hf_1), (feat2, h6_2, h9_2, hf_2)
+
+
+# ---------------------------------------------------------------------------
+# heads + postprocess
+# ---------------------------------------------------------------------------
+
+def _pixel_shuffle_tokens(tok, grid_hw, P: int, C: int):
+    """(B, N, C*P*P) channel-major tokens -> (B, H, W, C) pixel map.
+
+    Matches torch F.pixel_shuffle after the (B,S,D)->(B,D,h,w) reshape
+    (catmlp_dpt_head.py:78-81).
+    """
+    nh, nw = grid_hw
+    B, N, _ = tok.shape
+    x = tok.reshape(B, nh, nw, C, P, P)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (B, nh, P, nw, P, C)
+    return x.reshape(B, nh * P, nw * P, C)
+
+
+def head_forward(head_params, cfg: ModelConfig, hook_tokens, grid_hw):
+    """DPT + local-feature head -> raw (B, H, W, 4 + desc_dim + 1) f32 map."""
+    pts_conf = dpt_mod.dpt_forward(head_params["dpt"], list(hook_tokens), grid_hw, 4)
+
+    enc_out, _, _, dec_out = hook_tokens
+    cat = jnp.concatenate(
+        [enc_out.astype(jnp.float32), dec_out.astype(jnp.float32)], axis=-1
+    )
+    local = mlp(head_params["local_mlp"], cat)  # (B, N, (desc+1)*P*P)
+    local_map = _pixel_shuffle_tokens(
+        local, grid_hw, cfg.patch_size, cfg.desc_dim + 1
+    )
+    return jnp.concatenate([pts_conf, local_map], axis=-1)
+
+
+def postprocess(raw, cfg: ModelConfig):
+    """Raw head map -> (X, C, D, Q).
+
+    X: (B, H, W, 3) pointmap    dir * expm1(|xyz|)   (postprocess.py:22-46)
+    C: (B, H, W) confidence     1 + exp              (postprocess.py:49-58)
+    D: (B, H, W, desc) unit descriptors              (catmlp head reg_desc)
+    Q: (B, H, W) descriptor confidence
+    """
+    xyz = raw[..., 0:3]
+    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    X = xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
+    C = cfg.conf_offset + jnp.exp(raw[..., 3])
+    desc = raw[..., 4 : 4 + cfg.desc_dim]
+    D = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    Q = cfg.desc_conf_offset + jnp.exp(raw[..., 4 + cfg.desc_dim])
+    return X, C, D, Q
+
+
+# ---------------------------------------------------------------------------
+# inference entry points (mirror mast3r_utils.py:55-242 semantics)
+# ---------------------------------------------------------------------------
+
+def _decode_and_heads(params, cfg, feat1, pos1, feat2, pos2, grid):
+    hooks1, hooks2 = decode(params, cfg, feat1, pos1, feat2, pos2)
+    raw1 = head_forward(params["head1"], cfg, hooks1, grid)
+    raw2 = head_forward(params["head2"], cfg, hooks2, grid)
+    return postprocess(raw1, cfg), postprocess(raw2, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "grid_hw"))
+def inference_asymmetric(params, cfg: ModelConfig, feat_i, pos_i, feat_j, pos_j,
+                         grid_hw):
+    """One-direction two-view inference: predicts (Xii, Cii, Dii, Qii) and
+    (Xji, Cji, Dji, Qji) — j's geometry in i's frame (mast3r_utils.py:183-206).
+
+    grid_hw must be a static (nh, nw) tuple.
+    """
+    return _decode_and_heads(params, cfg, feat_i, pos_i, feat_j, pos_j, grid_hw)
+
+
+@partial(jax.jit, static_argnames=("cfg", "grid_hw"))
+def inference_symmetric(params, cfg: ModelConfig, feat_i, pos_i, feat_j, pos_j,
+                        grid_hw):
+    """Both directions in ONE batched decoder call.
+
+    Where the reference loops per pair and per direction
+    (mast3r_decode_symmetric_batch, mast3r_utils.py:83-115), we stack
+    [i->(i,j), j->(j,i)] into a single 2B batch — the TPU win called out in
+    SURVEY.md §2.4 item 3.
+
+    Returns ((Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji),
+             (Xjj, Cjj, Djj, Qjj), (Xij, Cij, Dij, Qij)).
+    """
+    featA = jnp.concatenate([feat_i, feat_j], axis=0)
+    posA = jnp.concatenate([pos_i, pos_j], axis=0)
+    featB = jnp.concatenate([feat_j, feat_i], axis=0)
+    posB = jnp.concatenate([pos_j, pos_i], axis=0)
+    (XA, CA, DA, QA), (XB, CB, DB, QB) = _decode_and_heads(
+        params, cfg, featA, posA, featB, posB, grid_hw
+    )
+    B = feat_i.shape[0]
+    res_ii = (XA[:B], CA[:B], DA[:B], QA[:B])
+    res_jj = (XA[B:], CA[B:], DA[B:], QA[B:])
+    res_ji = (XB[:B], CB[:B], DB[:B], QB[:B])
+    res_ij = (XB[B:], CB[B:], DB[B:], QB[B:])
+    return res_ii, res_ji, res_jj, res_ij
+
+
+@partial(jax.jit, static_argnames=("cfg", "grid_hw"))
+def inference_mono(params, cfg: ModelConfig, feat, pos, grid_hw):
+    """(I, I) decoder pass for canonical pointmap init/reloc
+    (mast3r_utils.py:118-139)."""
+    (Xii, Cii, _, _), _ = _decode_and_heads(
+        params, cfg, feat, pos, feat, pos, grid_hw
+    )
+    return Xii, Cii
