@@ -173,14 +173,14 @@ def _kaiming_conv(key, kh, kw, cin, cout):
 def init_conv(key, kh, kw, cin, cout, bias=True):
     p = {"w": _kaiming_conv(key, kh, kw, cin, cout)}
     if bias:
-        p["b"] = jnp.zeros((cout,))
+        p["b"] = jnp.zeros((cout,), dtype=jnp.float32)
     return p
 
 
 def init_conv_t(key, cin, cout, k):
     return {
         "w": jax.random.normal(key, (cin, k * k * cout)) * 0.02,
-        "b": jnp.zeros((cout,)),
+        "b": jnp.zeros((cout,), dtype=jnp.float32),
     }
 
 

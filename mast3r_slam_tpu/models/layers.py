@@ -176,12 +176,12 @@ def _xavier(key, shape, dtype=jnp.float32):
 def init_linear(key, d_in, d_out, bias=True):
     p = {"w": _xavier(key, (d_in, d_out))}
     if bias:
-        p["b"] = jnp.zeros((d_out,))
+        p["b"] = jnp.zeros((d_out,), dtype=jnp.float32)
     return p
 
 
 def init_layer_norm(dim):
-    return {"w": jnp.ones((dim,)), "b": jnp.zeros((dim,))}
+    return {"w": jnp.ones((dim,), dtype=jnp.float32), "b": jnp.zeros((dim,), dtype=jnp.float32)}
 
 
 def init_mlp(key, dim, hidden):

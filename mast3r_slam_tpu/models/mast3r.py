@@ -110,7 +110,7 @@ def init_params(key, cfg: ModelConfig = VIT_LARGE) -> Dict[str, Any]:
     return {
         "patch_embed": {
             "w": jax.random.normal(ks[0], (P * P * 3, cfg.enc_embed_dim)) * 0.02,
-            "b": jnp.zeros((cfg.enc_embed_dim,)),
+            "b": jnp.zeros((cfg.enc_embed_dim,), dtype=jnp.float32),
         },
         "enc_blocks": stack_params(
             [

@@ -1,0 +1,338 @@
+"""Global Sim(3) pose-graph / pointmap-alignment Gauss-Newton solver.
+
+TPU-native replacement for the reference's CUDA+Eigen large-scale GN
+(/root/reference/mast3r_slam/backend/src/gn_kernels.cu): per-edge dense
+residuals over all pixels (`ray_align_kernel`:813, `calib_proj_kernel`:1231),
+7x7 pose blocks scatter-assembled into normal equations, solved, retracted,
+iterated.
+
+Key design deltas (SURVEY.md §7.2):
+  * the reference round-trips GPU->CPU->GPU EVERY iteration for an Eigen
+    SimplicialLLT solve (gn_kernels.cu:57-159).  Here assembly is a
+    segment-scatter into a dense (7M, 7M) system and the Cholesky runs
+    on-device inside ``lax.while_loop`` — zero host syncs.
+  * per-edge Hessians exploit Ji == -Jj (both CUDA kernels construct the
+    world-frame row then negate): one 7x7 block H_e per edge gives all four
+    [ii, ij; ji, jj] blocks, halving FLOPs and memory traffic.
+  * f32 conditioning (the reference solves in f64) is handled by Jacobi
+    preconditioning of the normal equations before the Cholesky.
+  * edges stream through ``lax.map`` in fixed-size batches so memory stays
+    bounded however many factors the graph holds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..lie import sim3
+from .robust import huber_weight
+
+
+class GlobalGNSettings(NamedTuple):
+    max_iters: int = 10
+    delta_norm: float = 1e-8
+    sigma_ray: float = 0.003
+    sigma_dist: float = 10.0
+    sigma_pixel: float = 1.0
+    sigma_depth: float = 10.0
+    C_conf: float = 0.0
+    Q_conf: float = 1.5
+    pixel_border: float = -10.0
+    depth_eps: float = 1e-6
+    huber_k: float = 1.345
+    pin: int = 1
+    edge_batch: int = 8
+
+    @classmethod
+    def from_config(cls, cfg) -> "GlobalGNSettings":
+        lo = cfg["local_opt"]
+        return cls(
+            max_iters=lo["max_iters"],
+            delta_norm=lo["delta_norm"],
+            sigma_ray=lo["sigma_ray"],
+            sigma_dist=lo["sigma_dist"],
+            sigma_pixel=lo["sigma_pixel"],
+            sigma_depth=lo["sigma_depth"],
+            C_conf=lo["C_conf"],
+            Q_conf=lo["Q_conf"],
+            pixel_border=lo["pixel_border"],
+            depth_eps=lo["depth_eps"],
+            pin=lo["pin"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# per-edge residual models
+# ---------------------------------------------------------------------------
+
+def _ray_residuals(Tij, Xi, Xj):
+    """Ray+distance residuals and local Jacobian rows.
+
+    Xi, Xj: (N, 3).  Returns (err (N, 4), J_local (N, 4, 7)) where the
+    residual is [normalize(Tij Xj) - normalize(Xi); |Tij Xj| - |Xi|]
+    (gn_kernels.cu:944-988) and J_local rows are wrt a left perturbation of
+    the j-point in i's frame.
+    """
+    ni = jnp.linalg.norm(Xi, axis=-1, keepdims=True)
+    ri = Xi / ni
+    P = sim3.act(Tij, Xj)
+    nj = jnp.linalg.norm(P, axis=-1, keepdims=True)
+    rj = P / nj
+
+    err = jnp.concatenate([rj - ri, nj - ni], axis=-1)  # (N, 4)
+
+    N = Xi.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=Xi.dtype), (N, 3, 3))
+    dr_dP = (eye - rj[..., :, None] * rj[..., None, :]) / nj[..., None]
+    # rotation part of the ray rows: -[rj]x ; scale part: 0
+    rx, ry, rz = rj[..., 0], rj[..., 1], rj[..., 2]
+    o = jnp.zeros_like(rx)
+    neg_skew = jnp.stack(
+        [o, rz, -ry, -rz, o, rx, ry, -rx, o], axis=-1
+    ).reshape(N, 3, 3)
+    zeros3 = jnp.zeros((N, 3, 1), dtype=Xi.dtype)
+    J_ray = jnp.concatenate([dr_dP, neg_skew, zeros3], axis=-1)  # (N, 3, 7)
+
+    J_dist = jnp.concatenate(
+        [rj, jnp.zeros((N, 3), dtype=Xi.dtype), nj], axis=-1
+    )[:, None, :]  # (N, 1, 7)
+    return err, jnp.concatenate([J_ray, J_dist], axis=1)
+
+
+def _calib_residuals(Tij, Xi, Xj, K, img_hw, border, z_eps):
+    """Pixel+log-depth residuals (gn_kernels.cu:1345-1480).
+
+    The target pixel is the pixel-grid location of the MATCH index; caller
+    passes Xi already gathered at idx and `uv_target` likewise.
+    Returns (err (N, 3), J_local (N, 3, 7), valid_extra (N, 1)).
+    """
+    H, W = img_hw
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    P = sim3.act(Tij, Xj)
+    x, y, z = P[..., 0], P[..., 1], P[..., 2]
+    zi = Xi[..., 2]
+    valid_z = (z > z_eps) & (zi > z_eps)
+    z_safe = jnp.where(valid_z, z, 1.0)
+    zi_safe = jnp.where(valid_z, zi, 1.0)
+    z_inv = 1.0 / z_safe
+    xz = x * z_inv
+    yz = y * z_inv
+    u = fx * xz + cx
+    v = fy * yz + cy
+    valid_uv = (u > border) & (u < W - 1 - border) & (v > border) & (v < H - 1 - border)
+
+    return (u, v, jnp.where(valid_z, jnp.log(z_safe) - jnp.log(zi_safe), 0.0)), (
+        fx, fy, xz, yz, z_inv
+    ), (valid_z & valid_uv)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# edge Hessian/gradient
+# ---------------------------------------------------------------------------
+
+def _edge_block_rays(Twc, Xs, Cs, settings, edge):
+    """One edge -> (H_e (7,7), g_e (7,)): Hjj block and gj gradient.
+
+    All four assembled blocks follow from Ji = -Jj.
+    """
+    ei, ej, idx, valid_match, Q = edge
+    Ti = Twc[ei]
+    Tj = Twc[ej]
+    Tij = sim3.rel(Ti, Tj)
+    Xi = Xs[ei][idx]  # (N, 3) gathered at match indices
+    Xj = Xs[ej]
+    ci = Cs[ei][idx][..., 0]
+    cj = Cs[ej][..., 0]
+
+    err, J_local = _ray_residuals(Tij, Xi, Xj)
+
+    q = Q[..., 0]
+    valid = (
+        valid_match[..., 0]
+        & (q > settings.Q_conf)
+        & (ci > settings.C_conf)
+        & (cj > settings.C_conf)
+    )
+    sq = jnp.sqrt(q) * valid
+    sqrt_w = jnp.stack(
+        [
+            sq / settings.sigma_ray,
+            sq / settings.sigma_ray,
+            sq / settings.sigma_ray,
+            sq / settings.sigma_dist,
+        ],
+        axis=-1,
+    )  # (N, 4)
+    w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
+
+    Jj = sim3.apply_adj_inv(Ti, J_local)  # broadcast (N, 4, 7)
+    H_e = jnp.einsum("nr,nri,nrj->ij", w, Jj, Jj, preferred_element_type=jnp.float32)
+    g_e = jnp.einsum("nr,nr,nri->i", w, err, Jj, preferred_element_type=jnp.float32)
+    return H_e, g_e
+
+
+def _edge_block_calib(Twc, Xs, Cs, K, img_hw, settings, edge):
+    ei, ej, idx, valid_match, Q = edge
+    H, W = img_hw
+    Ti = Twc[ei]
+    Tj = Twc[ej]
+    Tij = sim3.rel(Ti, Tj)
+    Xi = Xs[ei][idx]
+    Xj = Xs[ej]
+    ci = Cs[ei][idx][..., 0]
+    cj = Cs[ej][..., 0]
+
+    (u, v, rz), (fx, fy, xz, yz, z_inv), valid_extra = _calib_residuals(
+        Tij, Xi, Xj, K, img_hw, settings.pixel_border, settings.depth_eps
+    )
+    u_t = (idx % W).astype(u.dtype)
+    v_t = (idx // W).astype(u.dtype)
+    err = jnp.stack([u - u_t, v - v_t, rz], axis=-1)  # (N, 3)
+
+    N = Xj.shape[0]
+    o = jnp.zeros_like(xz)
+    one = jnp.ones_like(xz)
+    J_u = jnp.stack(
+        [fx * z_inv, o, -fx * xz * z_inv, -fx * xz * yz, fx * (1 + xz * xz), -fx * yz, o],
+        axis=-1,
+    )
+    J_v = jnp.stack(
+        [o, fy * z_inv, -fy * yz * z_inv, -fy * (1 + yz * yz), fy * xz * yz, fy * xz, o],
+        axis=-1,
+    )
+    J_z = jnp.stack([o, o, z_inv, yz, -xz, o, one], axis=-1)
+    J_local = jnp.stack([J_u, J_v, J_z], axis=1)  # (N, 3, 7)
+
+    q = Q[..., 0]
+    valid = (
+        valid_match[..., 0]
+        & (q > settings.Q_conf)
+        & (ci > settings.C_conf)
+        & (cj > settings.C_conf)
+        & valid_extra[..., 0]
+    )
+    sq = jnp.sqrt(q) * valid
+    sqrt_w = jnp.stack(
+        [sq / settings.sigma_pixel, sq / settings.sigma_pixel, sq / settings.sigma_depth],
+        axis=-1,
+    )
+    w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
+
+    Jj = sim3.apply_adj_inv(Ti, J_local)
+    H_e = jnp.einsum("nr,nri,nrj->ij", w, Jj, Jj, preferred_element_type=jnp.float32)
+    g_e = jnp.einsum("nr,nr,nri->i", w, err, Jj, preferred_element_type=jnp.float32)
+    return H_e, g_e
+
+
+# ---------------------------------------------------------------------------
+# assembly + solve
+# ---------------------------------------------------------------------------
+
+def _assemble_and_solve(H_e, g_e, ii, jj, num_poses: int, pin: int):
+    """Scatter per-edge blocks into dense normal equations and solve.
+
+    H_e: (E, 7, 7), g_e: (E, 7); ii/jj: (E,) pose indices (0..P-1).
+    Pinned poses (< pin) route to a trash slot.  Returns dx (P-pin, 7).
+    """
+    M = num_poses - pin
+    io = jnp.where(ii - pin >= 0, ii - pin, M)
+    jo = jnp.where(jj - pin >= 0, jj - pin, M)
+
+    Hbig = jnp.zeros((M + 1, M + 1, 7, 7), dtype=jnp.float32)
+    Hbig = Hbig.at[io, io].add(H_e)
+    Hbig = Hbig.at[jo, jo].add(H_e)
+    Hbig = Hbig.at[io, jo].add(-H_e)
+    Hbig = Hbig.at[jo, io].add(-H_e)
+
+    gbig = jnp.zeros((M + 1, 7), dtype=jnp.float32)
+    gbig = gbig.at[io].add(-g_e)  # vi = -gj
+    gbig = gbig.at[jo].add(g_e)
+
+    Hd = Hbig[:M, :M].transpose(0, 2, 1, 3).reshape(7 * M, 7 * M)
+    gd = gbig[:M].reshape(7 * M)
+
+    # Jacobi preconditioning for f32 conditioning (design delta vs reference
+    # f64 Eigen solve, gn_kernels.cu:73)
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(Hd), 1e-12))
+    d_inv = 1.0 / d
+    Hs = Hd * d_inv[:, None] * d_inv[None, :]
+    Hs = Hs + jnp.eye(7 * M, dtype=jnp.float32) * 1e-8
+    L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
+    y = jax.scipy.linalg.cho_solve((L, lower), gd * d_inv)
+    dx = -(d_inv * y)
+    ok = jnp.isfinite(dx).all()
+    dx = jnp.where(ok, dx, 0.0)
+    return dx.reshape(M, 7), ok
+
+
+@partial(jax.jit, static_argnames=("settings", "mode", "img_hw"))
+def gauss_newton_poses(
+    Twc,
+    Xs,
+    Cs,
+    ii,
+    jj,
+    idx_ii2jj,
+    valid_match,
+    Q,
+    K,
+    img_hw,
+    settings: GlobalGNSettings,
+    mode: str = "rays",
+):
+    """Iterated global GN over keyframe poses (gauss_newton_rays_cuda:1140,
+    gauss_newton_calib_cuda:1546 outer loops).
+
+    Twc: (P, 8) poses; Xs: (P, N, 3); Cs: (P, N, 1);
+    ii, jj: (E,) edge pose indices; idx_ii2jj: (E, N); valid_match: (E, N, 1);
+    Q: (E, N, 1).  Padded edges must carry valid_match=False (zero weight).
+    Returns (Twc', iters, ok).
+    """
+    P = Twc.shape[0]
+
+    if mode == "rays":
+        block_fn = lambda Twc_, edge: _edge_block_rays(Twc_, Xs, Cs, settings, edge)
+    else:
+        block_fn = lambda Twc_, edge: _edge_block_calib(
+            Twc_, Xs, Cs, K, img_hw, settings, edge
+        )
+
+    def one_iter(Twc_):
+        H_e, g_e = jax.lax.map(
+            partial(block_fn, Twc_),
+            (ii, jj, idx_ii2jj, valid_match, Q),
+            batch_size=settings.edge_batch,
+        )
+        dx, ok = _assemble_and_solve(H_e, g_e, ii, jj, P, settings.pin)
+        # retract non-pinned poses (pose_retr_kernel, gn_kernels.cu:415-453)
+        dx_full = jnp.concatenate(
+            [jnp.zeros((settings.pin, 7), dtype=dx.dtype), dx], axis=0
+        )
+        Twc_new = sim3.retr(Twc_, dx_full)
+        keep = (
+            jnp.arange(P)[:, None] >= settings.pin
+        )
+        Twc_new = jnp.where(keep, Twc_new, Twc_)
+        return Twc_new, jnp.linalg.norm(dx), ok
+
+    def cond(state):
+        Twc_, it, delta, ok = state
+        return (it < settings.max_iters) & (delta >= settings.delta_norm) & ok
+
+    def body(state):
+        Twc_, it, _, _ = state
+        Twc_new, delta, ok = one_iter(Twc_)
+        return (Twc_new, it + 1, delta, ok)
+
+    init = (
+        Twc,
+        jnp.asarray(0, dtype=jnp.int32),
+        jnp.asarray(jnp.inf, dtype=jnp.float32),
+        jnp.asarray(True),
+    )
+    Twc_out, iters, _, ok = jax.lax.while_loop(cond, body, init)
+    return Twc_out, iters, ok

@@ -222,7 +222,7 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
     pts3d_norm = X21_vec / jnp.linalg.norm(X21_vec, axis=-1, keepdims=True)
 
     if idx_1_to_2_init is None:
-        idx_1_to_2_init = jnp.broadcast_to(jnp.arange(H * W), (B, H * W))
+        idx_1_to_2_init = jnp.broadcast_to(jnp.arange(H * W, dtype=jnp.int32), (B, H * W))
     p_init = lin_to_pixel(idx_1_to_2_init, W).astype(X11.dtype)
     return rays_with_grad, pts3d_norm, p_init
 

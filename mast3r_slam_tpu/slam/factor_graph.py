@@ -1,0 +1,252 @@
+"""Keyframe factor graph with dense per-edge correspondence fields.
+
+Capability mirror of /root/reference/mast3r_slam/global_opt.py: adding factors
+runs batched symmetric two-view inference + dense matching and gates edges by
+bidirectional match fraction; solving runs the global GN over all keyframe
+poses.
+
+TPU shape: edge state lives in fixed-capacity device arrays (static jit
+signatures); batch sizes (edges added per call, edges/poses in a solve) are
+padded to power-of-two buckets so the engine compiles a handful of programs
+once and streams thereafter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import matching
+from ..ops.global_gn import GlobalGNSettings, gauss_newton_poses
+from .frame import Keyframes
+
+
+def _bucket(n: int, lo: int = 1) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class FactorGraph:
+    def __init__(self, model, cfg, keyframes: Keyframes,
+                 img_hw: Tuple[int, int], K=None, edge_capacity: int = 1024):
+        self.model = model
+        self.cfg = cfg
+        self.lcfg = cfg["local_opt"]
+        self.settings = GlobalGNSettings.from_config(cfg)
+        self.keyframes = keyframes
+        self.img_hw = img_hw
+        self.K = K if K is not None else jnp.eye(3, dtype=jnp.float32)
+        N = img_hw[0] * img_hw[1]
+        self.N = N
+        self.capacity = edge_capacity
+        self.n_edges = 0
+        # SoA edge store (global_opt.py:17-28, fixed capacity)
+        self.ii = np.zeros((edge_capacity,), dtype=np.int32)
+        self.jj = np.zeros((edge_capacity,), dtype=np.int32)
+        self.idx_ii2jj = jnp.zeros((edge_capacity, N), dtype=jnp.int32)
+        self.idx_jj2ii = jnp.zeros((edge_capacity, N), dtype=jnp.int32)
+        self.valid_match_j = jnp.zeros((edge_capacity, N, 1), dtype=bool)
+        self.valid_match_i = jnp.zeros((edge_capacity, N, 1), dtype=bool)
+        self.Q_ii2jj = jnp.zeros((edge_capacity, N, 1), dtype=jnp.float32)
+        self.Q_jj2ii = jnp.zeros((edge_capacity, N, 1), dtype=jnp.float32)
+
+    # ------------------------------------------------------------------
+    # add factors
+    # ------------------------------------------------------------------
+
+    def add_factors(self, ii: List[int], jj: List[int], min_match_frac: float,
+                    is_reloc: bool = False) -> bool:
+        """Run symmetric inference+matching for kf pairs, gate, store.
+
+        Mirrors global_opt.py:30-102 (including the rule that consecutive
+        edges are always kept and reloc requires every edge to pass).
+        """
+        B = len(ii)
+        if B == 0:
+            return False
+        kf = self.keyframes
+        ii_arr = np.asarray(ii, dtype=np.int32)
+        jj_arr = np.asarray(jj, dtype=np.int32)
+
+        res = self.model.symmetric(
+            kf.feat[ii_arr], kf.pos[ii_arr], kf.feat[jj_arr], kf.pos[jj_arr]
+        )
+        out = _add_factors_compute(
+            self.img_hw,
+            res,
+            float(self.lcfg["Q_conf"]),
+            self._match_kwargs(),
+        )
+
+        match_frac_j = np.asarray(out["match_frac_j"])
+        match_frac_i = np.asarray(out["match_frac_i"])
+        consecutive = ii_arr == (jj_arr - 1)
+        invalid = np.minimum(match_frac_j, match_frac_i) < min_match_frac
+        invalid = (~consecutive) & invalid
+        if is_reloc and invalid.any():
+            return False
+        keep = ~invalid
+        n_new = int(keep.sum())
+        if n_new == 0:
+            return False
+        assert self.n_edges + n_new <= self.capacity, "edge buffer full"
+        sl = slice(self.n_edges, self.n_edges + n_new)
+        kidx = np.nonzero(keep)[0]
+        self.ii[sl] = ii_arr[kidx]
+        self.jj[sl] = jj_arr[kidx]
+        kidx_j = jnp.asarray(kidx)
+        self.idx_ii2jj = self.idx_ii2jj.at[sl].set(out["idx_i2j"][kidx_j])
+        self.idx_jj2ii = self.idx_jj2ii.at[sl].set(out["idx_j2i"][kidx_j])
+        self.valid_match_j = self.valid_match_j.at[sl].set(out["valid_j"][kidx_j])
+        self.valid_match_i = self.valid_match_i.at[sl].set(out["valid_i"][kidx_j])
+        self.Q_ii2jj = self.Q_ii2jj.at[sl].set(out["Qj"][kidx_j])
+        self.Q_jj2ii = self.Q_jj2ii.at[sl].set(out["Qi"][kidx_j])
+        self.n_edges += n_new
+        return True
+
+    def _match_kwargs(self):
+        m = self.cfg["matching"]
+        return MatchKwargs(
+            max_iter=m["max_iter"],
+            lambda_init=m["lambda_init"],
+            convergence_thresh=m["convergence_thresh"],
+            dist_thresh=m["dist_thresh"],
+            radius=m["radius"],
+            dilation_max=m["dilation_max"],
+        )
+
+    # ------------------------------------------------------------------
+    # solve
+    # ------------------------------------------------------------------
+
+    def solve(self, mode: str = None):
+        """Two-way edge expansion + global GN + pose write-back
+        (global_opt.py:104-213)."""
+        if mode is None:
+            mode = "calib" if self.cfg["use_calib"] else "rays"
+        E = self.n_edges
+        n_kf = len(self.keyframes)
+        if E == 0 or n_kf <= self.settings.pin:
+            return
+        Epad = _bucket(2 * E, 2)
+        Ppad = _bucket(n_kf, 2)
+
+        ii2 = np.zeros((Epad,), dtype=np.int32)
+        jj2 = np.zeros((Epad,), dtype=np.int32)
+        ii2[:E] = self.ii[:E]
+        jj2[:E] = self.jj[:E]
+        ii2[E : 2 * E] = self.jj[:E]
+        jj2[E : 2 * E] = self.ii[:E]
+
+        idx = jnp.zeros((Epad, self.N), dtype=jnp.int32)
+        idx = idx.at[:E].set(self.idx_ii2jj[:E]).at[E : 2 * E].set(self.idx_jj2ii[:E])
+        valid = jnp.zeros((Epad, self.N, 1), dtype=bool)
+        valid = (
+            valid.at[:E].set(self.valid_match_j[:E])
+            .at[E : 2 * E].set(self.valid_match_i[:E])
+        )
+        Q = jnp.zeros((Epad, self.N, 1), dtype=jnp.float32)
+        Q = valid * Q.at[:E].set(self.Q_ii2jj[:E]).at[E : 2 * E].set(self.Q_jj2ii[:E])
+
+        kf = self.keyframes
+        Twc = kf.T_WC[:Ppad]
+        Xs = kf.X[:Ppad]
+        Cs = kf.C[:Ppad] / jnp.maximum(
+            kf.n_fused[:Ppad, None, None].astype(jnp.float32), 1.0
+        )
+        if mode == "calib":
+            from ..geometry import constrain_points_to_ray
+
+            Xs = jax.vmap(lambda X: constrain_points_to_ray(self.img_hw, X, self.K))(Xs)
+
+        Twc_new, iters, ok = gauss_newton_poses(
+            Twc,
+            Xs,
+            Cs,
+            jnp.asarray(ii2),
+            jnp.asarray(jj2),
+            idx,
+            valid,
+            Q,
+            self.K,
+            self.img_hw,
+            self.settings,
+            mode,
+        )
+        # write back optimized poses for all real keyframes except pinned
+        pin = self.settings.pin
+        kf.T_WC = kf.T_WC.at[pin:n_kf].set(Twc_new[pin:n_kf])
+
+
+class MatchKwargs(dict):
+    """Hashable bag of matcher params (static under jit)."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self._key = tuple(sorted(kw.items()))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, MatchKwargs) and self._key == other._key
+
+
+@partial(jax.jit, static_argnames=("img_hw", "mk"))
+def _add_factors_compute(img_hw, res, Q_conf, mk: MatchKwargs):
+    """Two-way matching + Q aggregation for B edges.
+
+    Mirrors mast3r_match_symmetric (mast3r_utils.py:142-180) + the Q
+    aggregation in global_opt.py:55-66, fully batched on device.
+    """
+    H, W = img_hw
+    N = H * W
+    res_ii, res_ji, res_jj, res_ij = res
+    Xii, _, Dii, Qii = res_ii
+    Xji, _, Dji, Qji = res_ji
+    Xjj, _, Djj, Qjj = res_jj
+    Xij, _, Dij, Qij = res_ij
+
+    B = Xii.shape[0]
+    X11 = jnp.concatenate([Xii, Xjj], axis=0)
+    X21 = jnp.concatenate([Xji, Xij], axis=0)
+    D11 = jnp.concatenate([Dii, Djj], axis=0)
+    D21 = jnp.concatenate([Dji, Dij], axis=0)
+
+    idx_1_to_2, valid = matching.match(X11, X21, D11, D21, **mk)
+    idx_i2j = idx_1_to_2[:B]
+    idx_j2i = idx_1_to_2[B:]
+    valid_j = valid[:B]
+    valid_i = valid[B:]
+
+    Qii_f = Qii.reshape(B, N, 1)
+    Qjj_f = Qjj.reshape(B, N, 1)
+    Qji_f = Qji.reshape(B, N, 1)
+    Qij_f = Qij.reshape(B, N, 1)
+
+    Qj = jnp.sqrt(jnp.take_along_axis(Qii_f, idx_i2j[..., None], axis=1) * Qji_f)
+    Qi = jnp.sqrt(jnp.take_along_axis(Qjj_f, idx_j2i[..., None], axis=1) * Qij_f)
+
+    valid_Qj = Qj > Q_conf
+    valid_Qi = Qi > Q_conf
+    vj = valid_j & valid_Qj
+    vi = valid_i & valid_Qi
+    match_frac_j = jnp.mean(vj.astype(jnp.float32), axis=(1, 2))
+    match_frac_i = jnp.mean(vi.astype(jnp.float32), axis=(1, 2))
+
+    return dict(
+        idx_i2j=idx_i2j,
+        idx_j2i=idx_j2i,
+        valid_j=valid_j,
+        valid_i=valid_i,
+        Qj=Qj,
+        Qi=Qi,
+        match_frac_j=match_frac_j,
+        match_frac_i=match_frac_i,
+    )

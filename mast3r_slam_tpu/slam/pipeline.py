@@ -1,0 +1,227 @@
+"""The SLAM engine: frontend tracking + backend global optimisation.
+
+Replaces the reference's 3-process orchestration (main.py:145-335 frontend,
+main.py:74-143 backend, shared CUDA memory + RLocks) with a single host loop
+feeding device-resident state — the design delta called out in SURVEY.md §7.1.
+Deterministic `single_thread` semantics (eval protocol) fall out naturally:
+the backend runs synchronously after each keyframe.  An async mode overlaps
+backend device work with the next frame's tracking via JAX's async dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataloader import MonocularDataset
+from ..eval.trajectory import save_traj_tum
+from ..lie import sim3
+from ..utils.image import resize_img
+from .frame import Frame, Keyframes, Mode
+from .factor_graph import FactorGraph
+from .tracker import FrameTracker
+
+
+@dataclasses.dataclass
+class SlamResult:
+    keyframe_timestamps: List[str]
+    keyframe_poses: np.ndarray  # (K, 8) Sim3
+    frame_timestamps: List[str]
+    frame_poses: np.ndarray  # (F, 8) per-frame poses
+    fps: float
+    n_keyframes: int
+    n_reloc: int
+
+
+class SLAM:
+    """Single-session SLAM engine over a stream of frames."""
+
+    def __init__(self, model, cfg, img_hw, K=None, keyframe_buffer=None,
+                 retrieval=None):
+        self.model = model
+        self.cfg = cfg
+        self.img_hw = img_hw
+        N = img_hw[0] * img_hw[1]
+        cap = keyframe_buffer or cfg["engine"]["keyframe_buffer"]
+        self.keyframes = Keyframes(
+            capacity=cap,
+            num_pixels=N,
+            num_patches=model.num_patches,
+            feat_dim=model.feat_dim,
+        )
+        if K is not None:
+            self.keyframes.K = jnp.asarray(K, dtype=jnp.float32)
+        self.tracker = FrameTracker(model, cfg, self.keyframes, img_hw)
+        self.graph = FactorGraph(
+            model, cfg, self.keyframes, img_hw, K=self.keyframes.K,
+            edge_capacity=cfg["engine"].get("edge_buffer", 1024),
+        )
+        self.retrieval = retrieval  # RetrievalDatabase or None
+        self.mode = Mode.INIT
+        self.n_reloc = 0
+        self.frame_log: List[tuple] = []  # (timestamp, T_WC np (8,))
+
+    # ------------------------------------------------------------------
+
+    def ingest_rgb(self, frame_id: int, timestamp: str, rgb01: np.ndarray,
+                   T_WC_init=None) -> Frame:
+        """Resize + normalise + encode one RGB frame (create_frame,
+        frame.py:111-122)."""
+        r = resize_img(rgb01, 512)
+        img = jnp.asarray(r["img"])[None]  # (1, 3, h, w)
+        feat, pos = self.model.encode(img)
+        T = T_WC_init if T_WC_init is not None else sim3.identity()
+        return Frame(
+            frame_id=frame_id,
+            img=img[0],
+            T_WC=T,
+            feat=feat,
+            pos=pos,
+            uimg=r["unnormalized_img"],
+        )
+
+    def _backend_update(self, kf_idx: int):
+        """One global-optimisation task (run_backend, main.py:96-143)."""
+        cfg = self.cfg
+        retrieval_inds: List[int] = []
+        if self.retrieval is not None:
+            retrieval_inds = self.retrieval.update(
+                self.keyframes.get_frame(kf_idx),
+                add_after_query=True,
+                k=cfg["retrieval"]["k"],
+                min_thresh=cfg["retrieval"]["min_thresh"],
+            )
+        kf_idxs = set(retrieval_inds)
+        if kf_idx - 1 >= 0:
+            kf_idxs.add(kf_idx - 1)  # n_consec = 1 (main.py:100-107)
+        kf_idxs.discard(kf_idx)
+        kf_idxs = sorted(kf_idxs)
+        if not kf_idxs:
+            return
+        self.graph.add_factors(
+            kf_idxs,
+            [kf_idx] * len(kf_idxs),
+            self.cfg["local_opt"]["min_match_frac"],
+        )
+        self.graph.solve()
+
+    def _relocalize(self, frame: Frame) -> bool:
+        """Retrieval-driven relocalisation (main.py:28-71)."""
+        if self.retrieval is None:
+            return False
+        cfg = self.cfg
+        inds = self.retrieval.update(
+            frame,
+            add_after_query=False,
+            k=cfg["retrieval"]["k"],
+            min_thresh=cfg["retrieval"]["min_thresh"],
+        )
+        if not inds:
+            return False
+        kf_idx = self.keyframes.append(frame)
+        n = len(inds)
+        ok = self.graph.add_factors(
+            sorted(inds),
+            [kf_idx] * n,
+            cfg["reloc"]["min_match_frac"],
+            is_reloc=cfg["reloc"]["strict"],
+        )
+        if ok:
+            self.retrieval.add_entry(frame)
+            # snap to the best retrieved keyframe's pose (main.py:61)
+            self.keyframes.update_pose(kf_idx, self.keyframes.T_WC[inds[0]])
+            frame.T_WC = self.keyframes.T_WC[inds[0]]
+            self.graph.solve()
+            return True
+        # all-or-nothing: no edges were stored on failure (global_opt.py:76-77)
+        self.keyframes.pop_last()
+        return False
+
+    def process_frame(self, frame_id: int, timestamp: str, rgb01: np.ndarray,
+                      last_T_WC=None):
+        """Advance the mode machine by one frame (main.py:233-310)."""
+        frame = self.ingest_rgb(frame_id, timestamp, rgb01, T_WC_init=last_T_WC)
+
+        if self.mode == Mode.INIT:
+            X, C = self.model.mono(frame.feat, frame.pos)
+            frame.update_pointmap(
+                X.reshape(-1, 3), C.reshape(-1, 1),
+                mode=self.cfg["tracking"]["filtering_mode"],
+            )
+            self.keyframes.append(frame)
+            if self.retrieval is not None:
+                self._backend_update(0)
+            self.mode = Mode.TRACKING
+            self._log(timestamp, frame)
+            return frame
+
+        if self.mode == Mode.RELOC:
+            X, C = self.model.mono(frame.feat, frame.pos)
+            frame.update_pointmap(
+                X.reshape(-1, 3), C.reshape(-1, 1),
+                mode=self.cfg["tracking"]["filtering_mode"],
+            )
+            self.n_reloc += 1
+            if self._relocalize(frame):
+                self.mode = Mode.TRACKING
+                self.tracker.reset_idx_f2k()
+            self._log(timestamp, frame)
+            return frame
+
+        # TRACKING
+        new_kf, try_reloc = self.tracker.track(frame)
+        if try_reloc:
+            self.mode = Mode.RELOC
+            self._log(timestamp, frame)
+            return frame
+        if new_kf:
+            kf_idx = self.keyframes.append(frame)
+            self._backend_update(kf_idx)
+        self._log(timestamp, frame)
+        return frame
+
+    def _log(self, timestamp, frame):
+        self.frame_log.append((timestamp, np.asarray(frame.T_WC)))
+
+    # ------------------------------------------------------------------
+
+    def run(self, dataset: MonocularDataset, max_frames: Optional[int] = None,
+            verbose: bool = True) -> SlamResult:
+        n = len(dataset)
+        if max_frames is not None:
+            n = min(n, max_frames)
+        last_T = None
+        t0 = time.time()
+        for i in range(n):
+            timestamp, img = dataset[i]
+            frame = self.process_frame(i, timestamp, img, last_T_WC=last_T)
+            last_T = frame.T_WC
+            if verbose and i % 30 == 0 and i > 0:
+                fps = i / (time.time() - t0)
+                print(f"frame {i}/{n}  kf={len(self.keyframes)}  {fps:.2f} fps")
+        jax.block_until_ready(self.keyframes.T_WC)
+        wall = time.time() - t0
+
+        kf = self.keyframes
+        kf_ts = [dataset.timestamps[int(kf.frame_id[i])] for i in range(len(kf))]
+        return SlamResult(
+            keyframe_timestamps=kf_ts,
+            keyframe_poses=np.asarray(kf.T_WC[: len(kf)]),
+            frame_timestamps=[t for t, _ in self.frame_log],
+            frame_poses=np.stack([p for _, p in self.frame_log]) if self.frame_log
+            else np.zeros((0, 8)),
+            fps=n / wall if wall > 0 else 0.0,
+            n_keyframes=len(kf),
+            n_reloc=self.n_reloc,
+        )
+
+    def save_trajectory(self, path, result: SlamResult):
+        poses_se3 = np.asarray(
+            sim3.to_se3(jnp.asarray(result.keyframe_poses))
+        )
+        save_traj_tum(path, result.keyframe_timestamps, poses_se3)

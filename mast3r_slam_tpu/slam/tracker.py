@@ -1,0 +1,265 @@
+"""Frame-to-keyframe tracker.
+
+Capability mirror of /root/reference/mast3r_slam/tracker.py with a TPU
+execution shape: two-view inference runs through the model interface, then
+the rest of the per-frame hot path — dense projective matching, confidence
+gating, the Sim(3) GN pose solve and both pointmap fusions — is ONE jitted
+device program (``_track_compute``); the host reads back a handful of
+scalars to make the keyframe/relocalisation decision.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import constrain_points_to_ray, get_pixel_coords
+from ..lie import sim3
+from ..ops import matching
+from ..ops.tracking_gn import (
+    GNSettings,
+    opt_pose_calib_sim3,
+    opt_pose_ray_dist_sim3,
+)
+from .frame import Frame, Keyframes, fuse_pointmap
+
+
+class TrackerSettings(NamedTuple):
+    # matching (config/base.yaml `matching:`)
+    max_iter: int = 10
+    lambda_init: float = 1e-8
+    convergence_thresh: float = 1e-6
+    dist_thresh: float = 0.1
+    radius: int = 3
+    dilation_max: int = 5
+    # tracking (config/base.yaml `tracking:`)
+    min_match_frac: float = 0.05
+    C_conf: float = 0.0
+    Q_conf: float = 1.5
+    match_frac_thresh: float = 0.333
+    filtering_mode: str = "weighted_pointmap"
+    filtering_score: str = "median"
+    use_calib: bool = False
+    gn: GNSettings = GNSettings()
+
+    @classmethod
+    def from_config(cls, cfg) -> "TrackerSettings":
+        m, t = cfg["matching"], cfg["tracking"]
+        return cls(
+            max_iter=m["max_iter"],
+            lambda_init=m["lambda_init"],
+            convergence_thresh=m["convergence_thresh"],
+            dist_thresh=m["dist_thresh"],
+            radius=m["radius"],
+            dilation_max=m["dilation_max"],
+            min_match_frac=t["min_match_frac"],
+            C_conf=t["C_conf"],
+            Q_conf=t["Q_conf"],
+            match_frac_thresh=t["match_frac_thresh"],
+            filtering_mode=t["filtering_mode"],
+            filtering_score=t["filtering_score"],
+            use_calib=cfg["use_calib"],
+            gn=GNSettings(
+                max_iters=t["max_iters"],
+                rel_error=t["rel_error"],
+                delta_norm=t["delta_norm"],
+                huber_k=t["huber"],
+                sigma_ray=t["sigma_ray"],
+                sigma_dist=t["sigma_dist"],
+                sigma_pixel=t["sigma_pixel"],
+                sigma_depth=t["sigma_depth"],
+                pixel_border=t["pixel_border"],
+                depth_eps=t["depth_eps"],
+            ),
+        )
+
+
+@partial(jax.jit, static_argnames=("ts", "img_hw"))
+def _track_compute(
+    ts: TrackerSettings,
+    img_hw: Tuple[int, int],
+    Xii, Cii, Dii, Qii,      # frame canonical prediction (1, H, W, *)
+    Xji, Cji, Dji, Qji,      # keyframe-in-frame prediction (1, H, W, *)
+    frame_X, frame_C, frame_n_fused,
+    kf_X, kf_C, kf_n_fused,
+    T_WCf, T_WCk,
+    idx_init,
+    K,
+):
+    """Everything after inference for one tracked frame (tracker.py:28-127)."""
+    H, W = img_hw
+    N = H * W
+
+    # 1. dense matching: keyframe pixels -> frame pixels
+    idx_f2k, valid_match = matching.match(
+        Xii,
+        Xji,
+        Dii,
+        Dji,
+        idx_1_to_2_init=idx_init[None],
+        max_iter=ts.max_iter,
+        lambda_init=ts.lambda_init,
+        convergence_thresh=ts.convergence_thresh,
+        dist_thresh=ts.dist_thresh,
+        radius=ts.radius,
+        dilation_max=ts.dilation_max,
+    )
+    idx_f2k = idx_f2k[0]  # (N,)
+    valid_match = valid_match[0]  # (N, 1)
+
+    Xii_f = Xii.reshape(N, 3)
+    Cii_f = Cii.reshape(N, 1)
+    Qii_f = Qii.reshape(N, 1)
+    Xji_f = Xji.reshape(N, 3)
+    Cji_f = Cji.reshape(N, 1)
+    Qji_f = Qji.reshape(N, 1)
+
+    Qk = jnp.sqrt(Qii_f[idx_f2k] * Qji_f)
+
+    # 2. fuse the new canonical observation into the frame pointmap
+    first = frame_n_fused == 0
+    fX, fC, fn, _ = fuse_pointmap(
+        frame_X, frame_C, frame_n_fused, Xii_f, Cii_f, mode=ts.filtering_mode
+    )
+    frame_X = jnp.where(first, Xii_f, fX)
+    frame_C = jnp.where(first, Cii_f, fC)
+    frame_n_fused = jnp.where(first, 1, fn)
+
+    # 3. gather correspondences + confidence gating (tracker.py:54-70)
+    Xf_all = frame_X
+    Xk_all = kf_X
+    Cf_avg = frame_C / frame_n_fused.astype(frame_C.dtype)
+    Ck_avg = kf_C / jnp.maximum(kf_n_fused.astype(kf_C.dtype), 1.0)
+
+    if ts.use_calib:
+        Xf_all = constrain_points_to_ray(img_hw, Xf_all, K)
+        Xk_all = constrain_points_to_ray(img_hw, Xk_all, K)
+
+    Xf = Xf_all[idx_f2k]
+    Cf = Cf_avg[idx_f2k]
+
+    valid_Cf = Cf > ts.C_conf
+    valid_Ck = Ck_avg > ts.C_conf
+    valid_Q = Qk > ts.Q_conf
+    valid_opt = valid_match & valid_Cf & valid_Ck & valid_Q
+    valid_kf = valid_match & valid_Q
+
+    match_frac = jnp.mean(valid_opt.astype(jnp.float32))
+
+    # 4. GN pose solve for T_CkCf
+    T_CkCf_init = sim3.rel(T_WCk, T_WCf)
+    if ts.use_calib:
+        uv = get_pixel_coords(img_hw, dtype=Xk_all.dtype).reshape(-1, 2)
+        zk = Xk_all[..., 2:3]
+        valid_meas = zk > ts.gn.depth_eps
+        logz = jnp.where(valid_meas, jnp.log(jnp.maximum(zk, ts.gn.depth_eps)), 0.0)
+        meas_k = jnp.concatenate([uv, logz], axis=-1) * valid_meas
+        T_CkCf, cost, ok = opt_pose_calib_sim3(
+            Xf, Xk_all, T_CkCf_init, Qk, valid_opt.astype(Xf.dtype),
+            meas_k, valid_meas, K, img_hw, ts.gn,
+        )
+    else:
+        T_CkCf, cost, ok = opt_pose_ray_dist_sim3(
+            Xf, Xk_all, T_CkCf_init, Qk, valid_opt.astype(Xf.dtype), ts.gn
+        )
+
+    T_WCf_new = sim3.mul(T_WCk, T_CkCf)
+
+    # 5. fuse keyframe pointmap with its re-observation (tracker.py:96-101)
+    Xkk = sim3.act(T_CkCf, Xji_f)
+    kX, kC, kn, _ = fuse_pointmap(
+        kf_X, kf_C, kf_n_fused, Xkk, Cji_f, mode=ts.filtering_mode
+    )
+
+    # 6. keyframe decision stats (tracker.py:103-110)
+    match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
+    hit = jnp.zeros((N,), dtype=jnp.float32).at[idx_f2k].max(
+        valid_match[:, 0].astype(jnp.float32)
+    )
+    unique_frac_f = jnp.sum(hit) / N
+
+    return dict(
+        idx_f2k=idx_f2k,
+        frame_X=frame_X,
+        frame_C=frame_C,
+        frame_n_fused=frame_n_fused,
+        kf_X=kX,
+        kf_C=kC,
+        kf_n_fused=kn,
+        T_WCf=T_WCf_new,
+        match_frac=match_frac,
+        match_frac_k=match_frac_k,
+        unique_frac_f=unique_frac_f,
+        gn_ok=ok,
+        cost=cost,
+    )
+
+
+class FrameTracker:
+    """Host orchestration + decisions around ``_track_compute``."""
+
+    def __init__(self, model, cfg, keyframes: Keyframes, img_hw: Tuple[int, int]):
+        self.model = model
+        self.ts = TrackerSettings.from_config(cfg)
+        self.keyframes = keyframes
+        self.img_hw = img_hw
+        self.reset_idx_f2k()
+
+    def reset_idx_f2k(self):
+        N = self.img_hw[0] * self.img_hw[1]
+        self.idx_f2k = jnp.arange(N, dtype=jnp.int32)
+
+    def track(self, frame: Frame):
+        """Returns (new_kf, try_reloc)."""
+        kf_idx = self.keyframes.last_idx()
+        kf = self.keyframes
+        K = kf.K if self.ts.use_calib else jnp.eye(3, dtype=jnp.float32)
+
+        (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = self.model.asymmetric(
+            frame.feat, frame.pos, kf.feat[kf_idx][None], kf.pos[kf_idx][None]
+        )
+
+        N = self.img_hw[0] * self.img_hw[1]
+        frame_X = frame.X_canon if frame.X_canon is not None else jnp.zeros((N, 3), dtype=jnp.float32)
+        frame_C = frame.C if frame.C is not None else jnp.zeros((N, 1), dtype=jnp.float32)
+
+        out = _track_compute(
+            self.ts,
+            self.img_hw,
+            Xii, Cii, Dii, Qii,
+            Xji, Cji, Dji, Qji,
+            frame_X,
+            frame_C,
+            jnp.asarray(frame.n_fused, dtype=jnp.int32),
+            kf.X[kf_idx],
+            kf.C[kf_idx],
+            kf.n_fused[kf_idx],
+            frame.T_WC,
+            kf.T_WC[kf_idx],
+            self.idx_f2k,
+            K,
+        )
+
+        self.idx_f2k = out["idx_f2k"]
+
+        # low overlap -> relocalise (tracker.py:66-70);
+        # GN/Cholesky failure -> skip frame (tracker.py:91-93)
+        if float(out["match_frac"]) < self.ts.min_match_frac or not bool(out["gn_ok"]):
+            return False, True
+
+        # commit frame + keyframe state
+        frame.X_canon = out["frame_X"]
+        frame.C = out["frame_C"]
+        frame.n_fused = int(out["frame_n_fused"])
+        frame.T_WC = out["T_WCf"]
+        kf.update_pointmap(kf_idx, out["kf_X"], out["kf_C"], out["kf_n_fused"])
+
+        new_kf = min(float(out["match_frac_k"]), float(out["unique_frac_f"])) < (
+            self.ts.match_frac_thresh
+        )
+        if new_kf:
+            self.reset_idx_f2k()
+        return new_kf, False

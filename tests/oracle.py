@@ -1,0 +1,184 @@
+"""Synthetic ground-truth pointmap oracle implementing the model interface.
+
+Lets the full SLAM engine (matching, GN tracking, fusion, keyframing, global
+BA, retrieval) run end-to-end with KNOWN geometry and trajectory, no
+pretrained checkpoint.  The "image" of frame k is a constant gray level
+encoding k, so the oracle can recover the frame id after the resize pipeline;
+"encoder features" carry the id in feat[0, 0, 0].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mast3r_slam_tpu.geometry import backproject, get_pixel_coords
+from mast3r_slam_tpu.lie import sim3
+
+
+class PlaneScene:
+    """A few textured planes + camera intrinsics + descriptor field."""
+
+    def __init__(self, img_hw=(48, 64), seed=0):
+        self.H, self.W = img_hw
+        f = 0.8 * self.W
+        self.K = np.array(
+            [[f, 0, self.W / 2], [0, f, self.H / 2], [0, 0, 1.0]], dtype=np.float32
+        )
+        rng = np.random.default_rng(seed)
+        # planes: n . x = c  (floor + back wall + side wall), world frame
+        self.planes = [
+            (np.array([0.0, 1.0, 0.0]), 1.0),    # y = 1 (floor below)
+            (np.array([0.0, 0.0, 1.0]), 4.0),    # z = 4 (back wall)
+            (np.array([1.0, 0.0, 0.0]), 3.0),    # x = 3 (side wall)
+        ]
+        # smooth random-Fourier descriptor field over world points
+        self.Wd = rng.normal(size=(24, 3)).astype(np.float32) * 2.0
+        self.bd = rng.uniform(0, 2 * np.pi, size=(24,)).astype(np.float32)
+
+    def render_pointmap(self, T_WC: np.ndarray) -> np.ndarray:
+        """(H, W, 3) camera-frame points for camera pose T_WC (Sim3 8-vec)."""
+        uv = np.asarray(get_pixel_coords((self.H, self.W))).reshape(-1, 2)
+        rays = np.array(
+            backproject(jnp.asarray(uv), jnp.ones((uv.shape[0], 1)), jnp.asarray(self.K))
+        )
+        rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+        R = np.asarray(sim3.quat_to_matrix(jnp.asarray(T_WC[3:7])))
+        t = T_WC[:3]
+        d_w = rays @ R.T  # world-frame ray dirs
+        lam = np.full(rays.shape[0], np.inf, dtype=np.float32)
+        for n, c in self.planes:
+            denom = d_w @ n
+            li = np.where(np.abs(denom) > 1e-6, (c - t @ n) / denom, np.inf)
+            li = np.where(li > 0.1, li, np.inf)
+            lam = np.minimum(lam, li)
+        lam = np.where(np.isfinite(lam), lam, 10.0)
+        X_cam = rays * lam[:, None]
+        return X_cam.reshape(self.H, self.W, 3).astype(np.float32)
+
+    def descriptors(self, X_cam: np.ndarray, T_WC: np.ndarray) -> np.ndarray:
+        """View-invariant unit descriptors from world coordinates."""
+        Xw = np.asarray(sim3.act(jnp.asarray(T_WC), jnp.asarray(X_cam)))
+        D = np.sin(Xw @ self.Wd.T + self.bd)
+        D /= np.linalg.norm(D, axis=-1, keepdims=True) + 1e-12
+        return D.astype(np.float32)
+
+
+class OracleModel:
+    """Drop-in for MASt3RModel producing ground-truth predictions."""
+
+    def __init__(self, scene: PlaneScene, gt_poses: np.ndarray, noise=0.0, seed=0):
+        self.scene = scene
+        self.gt = np.asarray(gt_poses, dtype=np.float32)  # (F, 8)
+        self.noise = noise
+        self.rng = np.random.default_rng(seed)
+        self.img_hw = (scene.H, scene.W)
+        self.feat_dim = 16
+        grid = (scene.H // 16 or 1, scene.W // 16 or 1)
+        self.num_patches = grid[0] * grid[1]
+        self._grid = grid
+
+    # -- id plumbing ---------------------------------------------------
+
+    @staticmethod
+    def image_for_frame(frame_id: int, hw=(48, 64)) -> np.ndarray:
+        v = (frame_id + 1) / 255.0
+        return np.full((hw[0], hw[1], 3), v, dtype=np.float32)
+
+    @staticmethod
+    def _id_from_img(img) -> int:
+        v = (float(jnp.mean(img)) + 1.0) / 2.0  # undo (x-0.5)/0.5
+        return int(round(v * 255.0)) - 1
+
+    def encode(self, img):
+        fid = self._id_from_img(img)
+        feat = jnp.zeros((1, self.num_patches, self.feat_dim), dtype=jnp.float32)
+        feat = feat.at[0, 0, 0].set(float(fid))
+        pos = jnp.zeros((1, self.num_patches, 2), dtype=jnp.int32)
+        return feat, pos
+
+    def _fid(self, feat) -> int:
+        return int(round(float(feat[0, 0, 0])))
+
+    def _view(self, fid: int):
+        T = self.gt[fid]
+        X = self.scene.render_pointmap(T)
+        D = self.scene.descriptors(X, T)
+        return T, X, D
+
+    def _noisify(self, X):
+        if self.noise > 0:
+            X = X + self.rng.normal(size=X.shape).astype(np.float32) * self.noise
+        return X
+
+    def _pair(self, fid_i, fid_j):
+        """(Xii, Cii, Dii, Qii), (Xji, ...): j's points in i's frame."""
+        Ti, Xi, Di = self._view(fid_i)
+        Tj, Xj, Dj = self._view(fid_j)
+        H, W = self.img_hw
+        T_CiCj = np.asarray(
+            sim3.rel(jnp.asarray(Ti), jnp.asarray(Tj)), dtype=np.float32
+        )
+        Xji = np.asarray(sim3.act(jnp.asarray(T_CiCj), jnp.asarray(Xj)))
+        ones = np.full((1, H, W), 2.0, dtype=np.float32)
+        mk = lambda a: jnp.asarray(a[None])
+        res_ii = (mk(self._noisify(Xi)), jnp.asarray(ones), mk(Di), jnp.asarray(ones))
+        res_ji = (mk(self._noisify(Xji)), jnp.asarray(ones), mk(Dj), jnp.asarray(ones))
+        return res_ii, res_ji
+
+    # -- interface -----------------------------------------------------
+
+    def asymmetric(self, feat_i, pos_i, feat_j, pos_j):
+        return self._pair(self._fid(feat_i), self._fid(feat_j))
+
+    def symmetric(self, feat_i, pos_i, feat_j, pos_j):
+        B = feat_i.shape[0]
+        outs_ii, outs_ji, outs_jj, outs_ij = [], [], [], []
+        for b in range(B):
+            fi = self._fid(feat_i[b][None])
+            fj = self._fid(feat_j[b][None])
+            r_ii, r_ji = self._pair(fi, fj)
+            r_jj, r_ij = self._pair(fj, fi)
+            outs_ii.append(r_ii)
+            outs_ji.append(r_ji)
+            outs_jj.append(r_jj)
+            outs_ij.append(r_ij)
+
+        def cat(rs):
+            return tuple(jnp.concatenate([r[k] for r in rs], axis=0) for k in range(4))
+
+        return cat(outs_ii), cat(outs_ji), cat(outs_jj), cat(outs_ij)
+
+    def mono(self, feat, pos):
+        fid = self._fid(feat)
+        _, X, _ = self._view(fid)
+        H, W = self.img_hw
+        return jnp.asarray(self._noisify(X)[None]), jnp.full((1, H, W), 2.0, dtype=jnp.float32)
+
+
+def arc_trajectory(n_frames: int, radius=0.5, max_angle=0.5) -> np.ndarray:
+    """Smooth sideways arc with slight rotation, looking roughly at +z."""
+    poses = []
+    for k in range(n_frames):
+        s = k / max(n_frames - 1, 1)
+        t = np.array([radius * np.sin(s * max_angle * 2), 0.2 * s, 0.3 * s])
+        yaw = -0.4 * max_angle * s
+        q = np.array([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)])
+        poses.append(np.concatenate([t, q, [1.0]]))
+    return np.asarray(poses, dtype=np.float32)
+
+
+class OracleDataset:
+    """Minimal dataset of constant-gray id-encoding images."""
+
+    def __init__(self, n_frames: int, hw=(48, 64)):
+        self.n = n_frames
+        self.hw = hw
+        self.timestamps = [f"{i / 30.0:.6f}" for i in range(n_frames)]
+        self.save_results = True
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.timestamps[i], OracleModel.image_for_frame(i, self.hw)
