@@ -32,40 +32,44 @@ from ..utils.image import img_gradient
 # bilinear sampling helpers
 # ---------------------------------------------------------------------------
 
-def _bilinear_gather(img_flat, W, u, v):
-    """Sample (B, H*W, C) image at float coords u, v (B, N) -> (B, N, C).
+def _bilinear_gather(img_hw, u, v):
+    """Sample (B, H, W, C) image at float coords u, v (B, N) -> (B, N, C).
 
     Caller guarantees coords are clamped to [1, W-2] x [1, H-2] so all four
-    neighbours are in range.
+    neighbours are in range.  The 2x2 neighbourhood is fetched as ONE
+    slice-gather (vmapped dynamic_slice) — contiguous 2-row DMA descriptors
+    instead of 4 independent row gathers, which is the difference between
+    DMA-bound and latency-bound on TPU.
     """
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    du = (u - u0)[..., None]
-    dv = (v - v0)[..., None]
-    u0 = u0.astype(jnp.int32)
-    v0 = v0.astype(jnp.int32)
+    C = img_hw.shape[-1]
+    u0f = jnp.floor(u)
+    v0f = jnp.floor(v)
+    du = (u - u0f)[..., None]
+    dv = (v - v0f)[..., None]
+    u0 = u0f.astype(jnp.int32)
+    v0 = v0f.astype(jnp.int32)
 
-    base = v0 * W + u0
+    def slice_one(img, vv, uu):
+        z = jnp.zeros((), dtype=vv.dtype)
+        return jax.lax.dynamic_slice(img, (vv, uu, z), (2, 2, C))
 
-    def take(idx):
-        return jnp.take_along_axis(img_flat, idx[..., None], axis=1)
-
-    i00 = take(base)            # (v0, u0)
-    i01 = take(base + 1)        # (v0, u0+1)
-    i10 = take(base + W)        # (v0+1, u0)
-    i11 = take(base + W + 1)    # (v0+1, u0+1)
-
+    # vmap over pixels then batch: (B, N, 2, 2, C)
+    patches = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0, 0)))(img_hw, v0, u0)
+    w00 = (1 - du) * (1 - dv)
+    w01 = du * (1 - dv)
+    w10 = (1 - du) * dv
+    w11 = du * dv
     return (
-        (1 - du) * (1 - dv) * i00
-        + du * (1 - dv) * i01
-        + (1 - du) * dv * i10
-        + du * dv * i11
+        w00 * patches[:, :, 0, 0]
+        + w01 * patches[:, :, 0, 1]
+        + w10 * patches[:, :, 1, 0]
+        + w11 * patches[:, :, 1, 1]
     )
 
 
-def _sample_ray_err(rays_flat, W, u, v, target):
+def _sample_ray_err(rays_hw, u, v, target):
     """Sample+normalize ray and return (err, cost, gx, gy)."""
-    s = _bilinear_gather(rays_flat, W, u, v)  # (B, N, 9)
+    s = _bilinear_gather(rays_hw, u, v)  # (B, N, 9)
     r = s[..., 0:3]
     gx = s[..., 3:6]
     gy = s[..., 6:9]
@@ -96,7 +100,6 @@ def iter_proj(
     Returns (p_new (B, N, 2) float32, converged (B, N) bool).
     """
     B, H, W, _ = rays_with_grad_img.shape
-    rays_flat = rays_with_grad_img.reshape(B, H * W, 9)
 
     u = jnp.clip(p_init[..., 0], 1.0, W - 2.0)
     v = jnp.clip(p_init[..., 1], 1.0, H - 2.0)
@@ -105,7 +108,7 @@ def iter_proj(
 
     def body(_, state):
         u, v, lam, conv = state
-        err, cost, gx, gy = _sample_ray_err(rays_flat, W, u, v, pts3d_norm)
+        err, cost, gx, gy = _sample_ray_err(rays_with_grad_img, u, v, pts3d_norm)
 
         # J^T J (2x2) and -J^T r with LM damping
         A00 = jnp.sum(gx * gx, axis=-1) + lam
@@ -122,7 +125,9 @@ def iter_proj(
         u_new = jnp.clip(u + du, 1.0, W - 2.0)
         v_new = jnp.clip(v + dv, 1.0, H - 2.0)
 
-        _, new_cost, _, _ = _sample_ray_err(rays_flat, W, u_new, v_new, pts3d_norm)
+        _, new_cost, _, _ = _sample_ray_err(
+            rays_with_grad_img, u_new, v_new, pts3d_norm
+        )
 
         accept = new_cost < cost
         u = jnp.where(accept, u_new, u)
@@ -147,49 +152,65 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
     D21: (B, N, F)    descriptors of view 2's pixels (predicted in view 1)
     p1:  (B, N, 2)    integer pixel positions to refine
     Returns refined integer positions (B, N, 2) int32.
+
+    TPU shape: per dilation level the (2r+1)^2 window is fetched as 2r+1
+    CONTIGUOUS row segments per pixel (one slice-gather each) from a
+    zero-padded descriptor image, instead of 49 independent point gathers —
+    slice rows are multi-KB DMA descriptors, which moves this op from
+    latency-bound to bandwidth-bound.  Outside-image candidates are masked
+    to -inf exactly as the CUDA kernel does (matching_kernels.cu:50-58).
     """
     B, H, W, F = D11.shape
-    D11_flat = D11.reshape(B, H * W, F)
-
-    u = p1[..., 0].astype(jnp.int32)
-    v = p1[..., 1].astype(jnp.int32)
-
     diam = 2 * radius + 1
-    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
-    offy, offx = jnp.meshgrid(offs, offs, indexing="ij")
-    offsets = jnp.stack([offx.reshape(-1), offy.reshape(-1)], axis=-1)  # (diam^2, 2)
-    del diam
 
-    neg_inf = jnp.array(-jnp.inf, dtype=D11.dtype)
+    # half precision descriptors, as the reference (matching.py:79 D.half())
+    D11 = D11.astype(jnp.bfloat16)
+    D21 = D21.astype(jnp.bfloat16)
 
-    def refine_at_dilation(carry, d):
-        u0, v0 = carry
+    max_rd = radius * dilation_max
+    Dpad = jnp.pad(D11, ((0, 0), (max_rd, max_rd), (max_rd, max_rd), (0, 0)))
 
-        def scan_offset(best, off):
-            best_score, best_u, best_v = best
-            uu = u0 + off[0] * d
-            vv = v0 + off[1] * d
-            inside = (uu >= 0) & (uu < W) & (vv >= 0) & (vv < H)
-            uc = jnp.clip(uu, 0, W - 1)
-            vc = jnp.clip(vv, 0, H - 1)
-            idx = vc * W + uc
-            cand = jnp.take_along_axis(D11_flat, idx[..., None], axis=1)  # (B,N,F)
-            score = jnp.sum(cand * D21, axis=-1)
-            score = jnp.where(inside, score, neg_inf)
-            better = score > best_score
-            return (
-                jnp.where(better, score, best_score),
-                jnp.where(better, uu, best_u),
-                jnp.where(better, vv, best_v),
-            ), None
+    u0 = p1[..., 0].astype(jnp.int32)
+    v0 = p1[..., 1].astype(jnp.int32)
+    neg_inf = jnp.array(-jnp.inf, dtype=jnp.float32)
 
-        init = (jnp.full(u0.shape, neg_inf, dtype=D11.dtype), u0, v0)
-        (best_score, best_u, best_v), _ = jax.lax.scan(scan_offset, init, offsets)
-        return (best_u, best_v), None
+    for d in range(dilation_max, 0, -1):
+        rd = radius * d
+        seg = 2 * rd + 1
 
-    dilations = jnp.arange(dilation_max, 0, -1, dtype=jnp.int32)
-    (u, v), _ = jax.lax.scan(refine_at_dilation, (u, v), dilations)
-    return jnp.stack([u, v], axis=-1)
+        best_score = jnp.full(u0.shape, neg_inf, dtype=jnp.float32)
+        best_u, best_v = u0, v0
+        u_start = (u0 - rd + max_rd).astype(jnp.int32)  # padded coords
+
+        def row_slice(img, vv, uu):
+            z = jnp.zeros((), dtype=vv.dtype)
+            return jax.lax.dynamic_slice(img, (vv, uu, z), (1, seg, F))[0]
+
+        gather_rows = jax.vmap(jax.vmap(row_slice, in_axes=(None, 0, 0)))
+
+        for iy in range(diam):
+            dy = (iy - radius) * d
+            vv = v0 + dy
+            rows = gather_rows(Dpad, (vv + max_rd).astype(jnp.int32), u_start)  # (B, N, seg, F)
+            cand = rows[:, :, ::d, :]  # (B, N, diam, F)
+            scores = jnp.einsum(
+                "bnkf,bnf->bnk", cand, D21, preferred_element_type=jnp.float32
+            )
+            ux = u0[..., None] + (jnp.arange(diam, dtype=jnp.int32) - radius) * d
+            inside = (
+                (ux >= 0) & (ux < W) & (vv[..., None] >= 0) & (vv[..., None] < H)
+            )
+            scores = jnp.where(inside, scores, neg_inf)
+            k = jnp.argmax(scores, axis=-1)
+            s = jnp.take_along_axis(scores, k[..., None], axis=-1)[..., 0]
+            better = s > best_score
+            best_score = jnp.where(better, s, best_score)
+            best_u = jnp.where(better, u0 + (k - radius) * d, best_u)
+            best_v = jnp.where(better, vv, best_v)
+
+        u0, v0 = best_u, best_v
+
+    return jnp.stack([u0, v0], axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -125,14 +125,20 @@ class SLAM:
             return False
         kf_idx = self.keyframes.append(frame)
         n = len(inds)
+        # edge direction matches the reference (main.py:47-52): the NEW
+        # keyframe is ii, retrieved keyframes are jj, so the "always keep
+        # consecutive" rule never applies to reloc edges
         ok = self.graph.add_factors(
-            sorted(inds),
             [kf_idx] * n,
+            list(inds),
             cfg["reloc"]["min_match_frac"],
             is_reloc=cfg["reloc"]["strict"],
         )
         if ok:
-            self.retrieval.add_entry(frame)
+            self.retrieval.update(
+                frame, add_after_query=True,
+                k=cfg["retrieval"]["k"], min_thresh=cfg["retrieval"]["min_thresh"],
+            )
             # snap to the best retrieved keyframe's pose (main.py:61)
             self.keyframes.update_pose(kf_idx, self.keyframes.T_WC[inds[0]])
             frame.T_WC = self.keyframes.T_WC[inds[0]]

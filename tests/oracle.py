@@ -77,6 +77,9 @@ class OracleModel:
         grid = (scene.H // 16 or 1, scene.W // 16 or 1)
         self.num_patches = grid[0] * grid[1]
         self._grid = grid
+        self._Wf = np.random.default_rng(7).normal(size=(self.feat_dim, 8)).astype(
+            np.float32
+        ) * 2.0
 
     # -- id plumbing ---------------------------------------------------
 
@@ -92,8 +95,15 @@ class OracleModel:
 
     def encode(self, img):
         fid = self._id_from_img(img)
-        feat = jnp.zeros((1, self.num_patches, self.feat_dim), dtype=jnp.float32)
-        feat = feat.at[0, 0, 0].set(float(fid))
+        # pose-coded tokens: nearby poses give similar tokens, so the
+        # retrieval head/ASMK stack has real signal to rank keyframes by;
+        # token 0 is reserved to carry the frame id to the pair oracle.
+        pose = self.gt[fid]
+        phase = np.linspace(0, 2 * np.pi, self.num_patches)[:, None]
+        tok = np.sin(pose @ self._Wf.T + phase).astype(np.float32)
+        tok[0] = 0.0
+        tok[0, 0] = float(fid)
+        feat = jnp.asarray(tok[None])
         pos = jnp.zeros((1, self.num_patches, 2), dtype=jnp.int32)
         return feat, pos
 
