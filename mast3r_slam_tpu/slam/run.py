@@ -1,0 +1,136 @@
+"""CLI entry point: run SLAM over a dataset and export results.
+
+Mirrors the reference frontend CLI (main.py:145-335): same flags
+(--dataset/--config/--save-as/--calib), same outputs (TUM keyframe
+trajectory, PLY reconstruction, keyframe images).
+
+    python -m mast3r_slam_tpu.slam.run --dataset datasets/tum/rgbd_dataset_freiburg1_room \
+        --config eval_no_calib --checkpoint checkpoints/MASt3R....pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+
+def build_slam(cfg, dataset, checkpoint=None, retrieval_checkpoint=None,
+               codebook=None, seed=0, preset="vit_large"):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.interface import MASt3RModel
+    from ..models import mast3r as M
+    from .pipeline import SLAM
+
+    (h, w), _ = dataset.get_img_shape()
+    img_hw = (int(h), int(w))
+
+    mcfg = M.VIT_LARGE if preset == "vit_large" else M.VIT_TINY_TEST
+    if checkpoint:
+        model = MASt3RModel.from_torch_checkpoint(checkpoint, img_hw, mcfg)
+    else:
+        print("WARNING: no checkpoint; random weights (geometry will be noise)",
+              file=sys.stderr)
+        model = MASt3RModel.random_init(jax.random.key(seed), img_hw, mcfg)
+
+    retrieval = None
+    if retrieval_checkpoint and codebook:
+        from ..retrieval import RetrievalDatabase
+
+        retrieval = RetrievalDatabase.from_torch_checkpoint(
+            retrieval_checkpoint, codebook
+        )
+
+    K = None
+    if cfg["use_calib"] and dataset.has_calib():
+        K = jnp.asarray(dataset.camera_intrinsics.K_frame, dtype=jnp.float32)
+
+    return SLAM(model, cfg, img_hw, K=K, retrieval=retrieval)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU-native MASt3R-class SLAM")
+    parser.add_argument("--dataset", required=True)
+    parser.add_argument("--config", default="base")
+    parser.add_argument("--save-as", default="default")
+    parser.add_argument("--calib", default="")
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--retrieval-checkpoint", default="")
+    parser.add_argument("--codebook", default="")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--no-viz", action="store_true", help="compat no-op")
+    parser.add_argument("--model-preset", default="vit_large",
+                        choices=["vit_large", "tiny"],
+                        help="tiny = smoke-test trunk (random weights)")
+    parser.add_argument("--platform", default="",
+                        help="force jax platform (e.g. cpu); needed because "
+                             "TPU-tunnel hosts pre-select a platform at "
+                             "interpreter startup")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..config import load_config, merge_config
+    from ..data.dataloader import load_dataset
+    from ..eval.export import save_keyframes, save_reconstruction
+
+    cfg = load_config(args.config)
+    if args.calib:
+        import yaml
+
+        with open(args.calib) as f:
+            intr = yaml.safe_load(f)
+        cfg = merge_config(cfg, {"use_calib": True})
+        cfg.setdefault("dataset", {})["intrinsics"] = intr
+
+    dataset = load_dataset(
+        args.dataset,
+        use_calib=cfg["use_calib"],
+        center_pp=cfg["dataset"]["center_principle_point"],
+    )
+    if cfg["dataset"]["subsample"] > 1:
+        dataset.subsample(cfg["dataset"]["subsample"])
+
+    slam = build_slam(
+        cfg,
+        dataset,
+        checkpoint=args.checkpoint or None,
+        retrieval_checkpoint=args.retrieval_checkpoint or None,
+        codebook=args.codebook or None,
+        preset=args.model_preset,
+    )
+    result = slam.run(dataset, max_frames=args.max_frames)
+
+    save_dir = pathlib.Path("logs")
+    if args.save_as != "default":
+        save_dir = save_dir / args.save_as
+    save_dir.mkdir(parents=True, exist_ok=True)
+    seq = pathlib.Path(args.dataset).stem
+
+    if dataset.save_results:
+        slam.save_trajectory(save_dir / f"{seq}.txt", result)
+        save_reconstruction(
+            save_dir / f"{seq}.ply",
+            slam.keyframes,
+            slam.img_hw,
+            conf_threshold=1.5,
+            use_calib=cfg["use_calib"],
+        )
+        save_keyframes(save_dir / "keyframes" / seq, dataset.timestamps,
+                       slam.keyframes)
+    print(
+        f"done: {result.n_keyframes} keyframes, {result.fps:.2f} fps, "
+        f"{result.n_reloc} reloc frames -> {save_dir}/{seq}.txt"
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()
