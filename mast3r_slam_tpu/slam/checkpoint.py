@@ -1,0 +1,97 @@
+"""SLAM map/graph checkpointing.
+
+The reference has NO mid-run state persistence (SURVEY.md §5: outputs only at
+termination).  Because the TPU engine keeps everything in fixed-capacity SoA
+device arrays, a checkpoint is a straight serialisation of those arrays: the
+keyframe store, factor-graph edges, retrieval IVF, and mode state round-trip
+through one compressed npz.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from .frame import Mode
+
+
+CHECKPOINT_VERSION = 1
+
+
+def save_state(path, slam) -> None:
+    """Serialise a SLAM engine's map state to <path> (npz)."""
+    kf = slam.keyframes
+    g = slam.graph
+    n = len(kf)
+    E = g.n_edges
+    arrays = dict(
+        version=np.asarray(CHECKPOINT_VERSION),
+        mode=np.asarray(int(slam.mode)),
+        img_hw=np.asarray(slam.img_hw),
+        # keyframes (only the filled slots)
+        kf_frame_id=kf.frame_id[:n],
+        kf_T_WC=np.asarray(kf.T_WC[:n]),
+        kf_X=np.asarray(kf.X[:n]),
+        kf_C=np.asarray(kf.C[:n]),
+        kf_n_fused=np.asarray(kf.n_fused[:n]),
+        kf_feat=np.asarray(kf.feat[:n]),
+        kf_pos=np.asarray(kf.pos[:n]),
+        # factor graph
+        edge_ii=g.ii[:E],
+        edge_jj=g.jj[:E],
+        edge_idx_ii2jj=np.asarray(g.idx_ii2jj[:E]),
+        edge_idx_jj2ii=np.asarray(g.idx_jj2ii[:E]),
+        edge_valid_j=np.asarray(g.valid_match_j[:E]),
+        edge_valid_i=np.asarray(g.valid_match_i[:E]),
+        edge_Q_ii2jj=np.asarray(g.Q_ii2jj[:E]),
+        edge_Q_jj2ii=np.asarray(g.Q_jj2ii[:E]),
+    )
+    if kf.K is not None:
+        arrays["K"] = np.asarray(kf.K)
+    uimgs = [u for u in kf.uimgs[:n]]
+    if all(u is not None for u in uimgs) and n > 0:
+        arrays["kf_uimg"] = np.stack(uimgs)
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load_state(path, slam) -> None:
+    """Restore a checkpoint into an engine built with compatible shapes."""
+    data = np.load(path, allow_pickle=False)
+    assert int(data["version"]) == CHECKPOINT_VERSION
+    assert tuple(data["img_hw"]) == tuple(slam.img_hw), "image size mismatch"
+
+    kf = slam.keyframes
+    g = slam.graph
+    n = len(data["kf_frame_id"])
+    E = len(data["edge_ii"])
+    assert n <= kf.capacity and E <= g.capacity
+
+    kf.n = n
+    kf.frame_id[:n] = data["kf_frame_id"]
+    kf.T_WC = kf.T_WC.at[:n].set(jnp.asarray(data["kf_T_WC"]))
+    kf.X = kf.X.at[:n].set(jnp.asarray(data["kf_X"]))
+    kf.C = kf.C.at[:n].set(jnp.asarray(data["kf_C"]))
+    kf.n_fused = kf.n_fused.at[:n].set(jnp.asarray(data["kf_n_fused"]))
+    kf.feat = kf.feat.at[:n].set(jnp.asarray(data["kf_feat"]))
+    kf.pos = kf.pos.at[:n].set(jnp.asarray(data["kf_pos"]))
+    if "K" in data:
+        kf.K = jnp.asarray(data["K"])
+    if "kf_uimg" in data:
+        for i in range(n):
+            kf.uimgs[i] = data["kf_uimg"][i]
+
+    g.n_edges = E
+    g.ii[:E] = data["edge_ii"]
+    g.jj[:E] = data["edge_jj"]
+    g.idx_ii2jj = g.idx_ii2jj.at[:E].set(jnp.asarray(data["edge_idx_ii2jj"]))
+    g.idx_jj2ii = g.idx_jj2ii.at[:E].set(jnp.asarray(data["edge_idx_jj2ii"]))
+    g.valid_match_j = g.valid_match_j.at[:E].set(jnp.asarray(data["edge_valid_j"]))
+    g.valid_match_i = g.valid_match_i.at[:E].set(jnp.asarray(data["edge_valid_i"]))
+    g.Q_ii2jj = g.Q_ii2jj.at[:E].set(jnp.asarray(data["edge_Q_ii2jj"]))
+    g.Q_jj2ii = g.Q_jj2ii.at[:E].set(jnp.asarray(data["edge_Q_jj2ii"]))
+
+    slam.mode = Mode(int(data["mode"]))
