@@ -123,7 +123,9 @@ class EurocDataset(MonocularDataset):
         self.rgb_files = [
             self.dataset_path / "mav0/cam0/data" / f for f in rows[:, 1]
         ]
-        self.timestamps = [str(float(t) / 1e9) for t in rows[:, 0]]
+        # EuRoC groundtruth files carry raw nanosecond stamps; keep them
+        # verbatim so trajectory association lines up (dataloader.py:103)
+        self.timestamps = rows[:, 0].tolist()
         with open(self.dataset_path / "mav0/cam0/sensor.yaml") as f:
             cam0 = yaml.safe_load(f)
         W, H = cam0["resolution"]
@@ -163,7 +165,7 @@ class SevenScenesDataset(MonocularDataset):
         self.rgb_files = natsorted(
             (self.dataset_path / "seq-01").glob("*.color.png")
         )
-        self.timestamps = [str(float(i)) for i in range(len(self.rgb_files))]
+        self.timestamps = [str(i) for i in range(len(self.rgb_files))]
         self.camera_intrinsics = Intrinsics.from_calib(
             self.img_size, 640, 480, np.asarray([585.0, 585.0, 320.0, 240.0]),
             center_pp=center_pp,
