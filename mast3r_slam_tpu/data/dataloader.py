@@ -172,6 +172,76 @@ class SevenScenesDataset(MonocularDataset):
         )
 
 
+class Webcam(MonocularDataset):
+    """Live webcam stream via cv2 (dataloader.py:206-229)."""
+
+    def __init__(self, device_index: int = -1):
+        super().__init__()
+        self.cap = cv2.VideoCapture(device_index)
+        self.save_results = False
+        self.timestamps = []
+
+    def __len__(self):
+        return 999_999
+
+    def get_timestamp(self, idx):
+        return self.timestamps[idx]
+
+    def read_img(self, idx):
+        ok, img = self.cap.read()
+        if not ok:
+            raise ValueError("failed to read webcam frame")
+        self.timestamps.append(str(idx / 30.0))
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def subsample(self, stride):
+        pass
+
+
+class RealsenseDataset(MonocularDataset):
+    """Intel RealSense live stream (dataloader.py:150-202); requires
+    pyrealsense2 at runtime."""
+
+    def __init__(self, use_calib=False, center_pp=True, hw=(480, 640)):
+        super().__init__()
+        import pyrealsense2 as rs  # optional dependency
+
+        self.rs = rs
+        self.h, self.w = hw
+        self.pipeline = rs.pipeline()
+        cfgr = rs.config()
+        cfgr.enable_stream(rs.stream.color, self.w, self.h, rs.format.bgr8, 30)
+        self.profile = self.pipeline.start(cfgr)
+        self.save_results = False
+        self.timestamps = []
+        self.use_calibration = use_calib
+        if use_calib:
+            intr = (
+                rs.video_stream_profile(self.profile.get_stream(rs.stream.color))
+                .get_intrinsics()
+            )
+            self.camera_intrinsics = Intrinsics.from_calib(
+                self.img_size, self.w, self.h,
+                np.asarray([intr.fx, intr.fy, intr.ppx, intr.ppy]),
+                center_pp=center_pp,
+            )
+
+    def __len__(self):
+        return 999_999
+
+    def get_timestamp(self, idx):
+        return self.timestamps[idx]
+
+    def read_img(self, idx):
+        frames = self.pipeline.wait_for_frames()
+        self.timestamps.append(str(frames.get_timestamp() / 1000.0))
+        img = np.asanyarray(frames.get_color_frame().get_data())
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def subsample(self, stride):
+        pass
+
+
 class MP4Dataset(MonocularDataset):
     """Long-video ingest via cv2 (dataloader.py:231-265)."""
 
@@ -287,6 +357,10 @@ def load_dataset(dataset_path: str, use_calib=False, center_pp=True):
         return ETH3DDataset(dataset_path, **kw)
     if "7-scenes" in parts:
         return SevenScenesDataset(dataset_path, **kw)
+    if "webcam" in parts:
+        return Webcam()
+    if "realsense" in parts:
+        return RealsenseDataset(**kw)
     ext = parts[-1].split(".")[-1].lower()
     if ext in ("mp4", "avi", "mov"):
         return MP4Dataset(dataset_path)

@@ -39,6 +39,7 @@ class GlobalGNSettings(NamedTuple):
     sigma_dist: float = 10.0
     sigma_pixel: float = 1.0
     sigma_depth: float = 10.0
+    sigma_point: float = 0.05
     C_conf: float = 0.0
     Q_conf: float = 1.5
     pixel_border: float = -10.0
@@ -57,6 +58,7 @@ class GlobalGNSettings(NamedTuple):
             sigma_dist=lo["sigma_dist"],
             sigma_pixel=lo["sigma_pixel"],
             sigma_depth=lo["sigma_depth"],
+            sigma_point=lo["sigma_point"],
             C_conf=lo["C_conf"],
             Q_conf=lo["Q_conf"],
             pixel_border=lo["pixel_border"],
@@ -170,6 +172,48 @@ def _edge_block_rays(Twc, Xs, Cs, settings, edge):
     w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
 
     Jj = sim3.apply_adj_inv(Ti, J_local)  # broadcast (N, 4, 7)
+    H_e = jnp.einsum("nr,nri,nrj->ij", w, Jj, Jj, preferred_element_type=jnp.float32)
+    g_e = jnp.einsum("nr,nr,nri->i", w, err, Jj, preferred_element_type=jnp.float32)
+    return H_e, g_e
+
+
+def _edge_block_points(Twc, Xs, Cs, settings, edge):
+    """Point-to-point alignment blocks (point_align_kernel,
+    gn_kernels.cu:455-723): residual T_ij Xj - Xi[idx], 3 rows/pixel,
+    sigma_point whitening."""
+    ei, ej, idx, valid_match, Q = edge
+    Ti = Twc[ei]
+    Tj = Twc[ej]
+    Tij = sim3.rel(Ti, Tj)
+    Xi = Xs[ei][idx]
+    Xj = Xs[ej]
+    ci = Cs[ei][idx][..., 0]
+    cj = Cs[ej][..., 0]
+
+    P = sim3.act(Tij, Xj)
+    err = P - Xi  # (N, 3)
+
+    N = Xj.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=P.dtype), (N, 3, 3))
+    px, py, pz = P[..., 0], P[..., 1], P[..., 2]
+    o = jnp.zeros_like(px)
+    neg_skew = jnp.stack(
+        [o, pz, -py, -pz, o, px, py, -px, o], axis=-1
+    ).reshape(N, 3, 3)
+    J_local = jnp.concatenate([eye, neg_skew, P[..., :, None]], axis=-1)
+
+    q = Q[..., 0]
+    valid = (
+        valid_match[..., 0]
+        & (q > settings.Q_conf)
+        & (ci > settings.C_conf)
+        & (cj > settings.C_conf)
+    )
+    sq = jnp.sqrt(q) * valid / settings.sigma_point
+    sqrt_w = jnp.stack([sq, sq, sq], axis=-1)
+    w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
+
+    Jj = sim3.apply_adj_inv(Ti, J_local)
     H_e = jnp.einsum("nr,nri,nrj->ij", w, Jj, Jj, preferred_element_type=jnp.float32)
     g_e = jnp.einsum("nr,nr,nri->i", w, err, Jj, preferred_element_type=jnp.float32)
     return H_e, g_e
@@ -296,6 +340,8 @@ def gauss_newton_poses(
 
     if mode == "rays":
         block_fn = lambda Twc_, edge: _edge_block_rays(Twc_, Xs, Cs, settings, edge)
+    elif mode == "points":
+        block_fn = lambda Twc_, edge: _edge_block_points(Twc_, Xs, Cs, settings, edge)
     else:
         block_fn = lambda Twc_, edge: _edge_block_calib(
             Twc_, Xs, Cs, K, img_hw, settings, edge

@@ -24,6 +24,7 @@ from ..lie import sim3
 from ..ops.global_gn import (
     GlobalGNSettings,
     _edge_block_calib,
+    _edge_block_points,
     _edge_block_rays,
 )
 from .mesh import EDGE_AXIS
@@ -37,6 +38,8 @@ def _local_blocks(Twc, Xs, Cs, K, img_hw, settings, mode, ii, jj, idx, valid, Q)
 
     if mode == "rays":
         block_fn = lambda edge: _edge_block_rays(Twc, Xs, Cs, settings, edge)
+    elif mode == "points":
+        block_fn = lambda edge: _edge_block_points(Twc, Xs, Cs, settings, edge)
     else:
         block_fn = lambda edge: _edge_block_calib(
             Twc, Xs, Cs, K, img_hw, settings, edge

@@ -22,6 +22,7 @@ from ..data.dataloader import MonocularDataset
 from ..eval.trajectory import save_traj_tum
 from ..lie import sim3
 from ..utils.image import resize_img
+from ..utils.timing import StageTimer
 from .frame import Frame, Keyframes, Mode
 from .factor_graph import FactorGraph
 from .tracker import FrameTracker
@@ -65,6 +66,7 @@ class SLAM:
         self.mode = Mode.INIT
         self.n_reloc = 0
         self.frame_log: List[tuple] = []  # (timestamp, T_WC np (8,))
+        self.timer = StageTimer(sync=False)  # per-stage host-side timings
 
     # ------------------------------------------------------------------
 
@@ -151,7 +153,8 @@ class SLAM:
     def process_frame(self, frame_id: int, timestamp: str, rgb01: np.ndarray,
                       last_T_WC=None):
         """Advance the mode machine by one frame (main.py:233-310)."""
-        frame = self.ingest_rgb(frame_id, timestamp, rgb01, T_WC_init=last_T_WC)
+        with self.timer.time("ingest+encode"):
+            frame = self.ingest_rgb(frame_id, timestamp, rgb01, T_WC_init=last_T_WC)
 
         if self.mode == Mode.INIT:
             X, C = self.model.mono(frame.feat, frame.pos)
@@ -180,14 +183,16 @@ class SLAM:
             return frame
 
         # TRACKING
-        new_kf, try_reloc = self.tracker.track(frame)
+        with self.timer.time("tracker.track"):
+            new_kf, try_reloc = self.tracker.track(frame)
         if try_reloc:
             self.mode = Mode.RELOC
             self._log(timestamp, frame)
             return frame
         if new_kf:
             kf_idx = self.keyframes.append(frame)
-            self._backend_update(kf_idx)
+            with self.timer.time("backend.update"):
+                self._backend_update(kf_idx)
         self._log(timestamp, frame)
         return frame
 

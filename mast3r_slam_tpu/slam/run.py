@@ -66,6 +66,8 @@ def main(argv=None):
     parser.add_argument("--model-preset", default="vit_large",
                         choices=["vit_large", "tiny"],
                         help="tiny = smoke-test trunk (random weights)")
+    parser.add_argument("--profile", action="store_true",
+                        help="print per-stage timing report at the end")
     parser.add_argument("--platform", default="",
                         help="force jax platform (e.g. cpu); needed because "
                              "TPU-tunnel hosts pre-select a platform at "
@@ -149,6 +151,8 @@ def main(argv=None):
         ]
         render_topdown(slam.keyframes, save_dir / f"{seq}_map.png", edges=edges)
         export_scene_json(slam, save_dir / f"{seq}_scene.json")
+    if args.profile:
+        print(slam.timer.report())
     print(
         f"done: {result.n_keyframes} keyframes, {result.fps:.2f} fps, "
         f"{result.n_reloc} reloc frames -> {save_dir}/{seq}.txt"

@@ -145,3 +145,18 @@ def test_sharded_matches_single_device(mode):
     np.testing.assert_allclose(
         np.asarray(Twc_sh), np.asarray(Twc_ref), atol=5e-4, rtol=1e-3
     )
+
+
+def test_global_gn_points_recovers_gt():
+    """Point-to-point mode (point_align_kernel equivalent)."""
+    gt, noisy, Xs, Cs, ii, jj, idx, valid, Q = _rays_problem()
+    settings = GlobalGNSettings(edge_batch=4)
+    Twc, iters, ok = gauss_newton_poses(
+        jnp.asarray(noisy), jnp.asarray(Xs), jnp.asarray(Cs),
+        jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx), jnp.asarray(valid),
+        jnp.asarray(Q), jnp.eye(3, dtype=jnp.float32), (1, Xs.shape[1]),
+        settings, "points",
+    )
+    assert bool(ok)
+    err_after = np.linalg.norm(np.asarray(Twc)[:, :3] - gt[:, :3], axis=-1).mean()
+    assert err_after < 1e-4, err_after
