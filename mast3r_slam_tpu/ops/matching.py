@@ -259,6 +259,39 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
     return rays_with_grad, pts3d_norm, p_init
 
 
+@partial(jax.jit, static_argnames=("radius", "dilation_max", "budget_frac"))
+def refine_matches_gated(D11, D21, p1, converged, radius: int = 3,
+                         dilation_max: int = 5, budget_frac: float = 0.25):
+    """Convergence-gated coarse-to-fine refinement (speed mode).
+
+    Ray-converged pixels almost never move more than the finest window under
+    descriptor refinement, so the coarse pyramid levels (d = dilation_max..2)
+    run only on a compacted subset of UNCONVERGED pixels (budget_frac of N,
+    static shape), and the finest level (d=1) runs on every pixel.  With a
+    warm-started tracker >90% of pixels converge, cutting the gathered rows
+    ~3-4x.  Unconverged pixels beyond the budget degrade gracefully to
+    finest-level-only refinement.
+    """
+    B, H, W, F = D11.shape
+    N = H * W
+    budget = max(int(N * budget_frac) // 128 * 128, 128)
+
+    # unconverged pixels first (stable sort keeps spatial coherence)
+    order = jnp.argsort(converged.astype(jnp.int32), axis=-1, stable=True)
+    sel = order[:, :budget]  # (B, budget)
+
+    p_sel = jnp.take_along_axis(p1, sel[..., None], axis=1)
+    D21_sel = jnp.take_along_axis(D21, sel[..., None], axis=1)
+    p_coarse = refine_matches(
+        D11, D21_sel, p_sel, radius=radius, dilation_max=dilation_max
+    )
+    # continue the pyramid from the coarse result, but run only the finest
+    # level for everyone: scatter coarse results back first
+    p_all = p1.astype(jnp.int32)
+    p_all = jax.vmap(lambda pa, s, pc: pa.at[s].set(pc))(p_all, sel, p_coarse)
+    return refine_matches(D11, D21, p_all, radius=radius, dilation_max=1)
+
+
 def match(
     X11,
     X21,
@@ -272,10 +305,13 @@ def match(
     dist_thresh: float = 1e-1,
     radius: int = 3,
     dilation_max: int = 5,
+    refine_gate: str = "none",
 ):
     """Dense 1->2 association (reference matching.py:8-90).
 
     X11, X21: (B, H, W, 3); D11, D21: (B, H, W, F).
+    refine_gate: "none" = reference-exact full pyramid on every pixel;
+    "converged" = coarse levels only on unconverged pixels (speed mode).
     Returns (idx_1_to_2 (B, N) int32, valid (B, N, 1) bool).
     """
     B, H, W, _ = X11.shape
@@ -300,9 +336,16 @@ def match(
     valid = valid_proj & (dists < dist_thresh)
 
     if radius > 0:
-        p1 = refine_matches(
-            D11, D21.reshape(B, H * W, -1), p1, radius=radius, dilation_max=dilation_max
-        )
+        D21_flat = D21.reshape(B, H * W, -1)
+        if refine_gate == "converged":
+            p1 = refine_matches_gated(
+                D11, D21_flat, p1, valid_proj, radius=radius,
+                dilation_max=dilation_max,
+            )
+        else:
+            p1 = refine_matches(
+                D11, D21_flat, p1, radius=radius, dilation_max=dilation_max
+            )
 
     idx_1_to_2 = pixel_to_lin(p1, W)
     return idx_1_to_2, valid[..., None]

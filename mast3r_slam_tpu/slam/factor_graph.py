@@ -119,6 +119,7 @@ class FactorGraph:
             dist_thresh=m["dist_thresh"],
             radius=m["radius"],
             dilation_max=m["dilation_max"],
+            refine_gate=m.get("refine_gate", "none"),
         )
 
     # ------------------------------------------------------------------

@@ -11,6 +11,8 @@ backend device work with the next frame's tracking via JAX's async dispatch.
 from __future__ import annotations
 
 import dataclasses
+import queue
+import threading
 import time
 from typing import List, Optional
 
@@ -68,6 +70,37 @@ class SLAM:
         self.frame_log: List[tuple] = []  # (timestamp, T_WC np (8,))
         self.timer = StageTimer(sync=False)  # per-stage host-side timings
 
+        # frontend/backend overlap (single_thread: False, the reference's
+        # default live mode, main.py:225): global-optimisation tasks run on a
+        # worker thread; one lock guards keyframe-store mutation (the role
+        # the reference's manager RLock plays, frame.py:222)
+        self.lock = threading.RLock()
+        self.single_thread = bool(cfg.get("single_thread", True))
+        self._tasks: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        if not self.single_thread:
+            self._tasks = queue.Queue()
+            self._worker = threading.Thread(target=self._backend_loop, daemon=True)
+            self._worker.start()
+
+    def _backend_loop(self):
+        while True:
+            kf_idx = self._tasks.get()
+            if kf_idx is None:
+                return
+            try:
+                with self.timer.time("backend.update"):
+                    self._backend_update(kf_idx)
+            except Exception as e:  # pragma: no cover
+                print(f"backend task failed: {e!r}")
+            finally:
+                self._tasks.task_done()
+
+    def join_backend(self):
+        """Drain pending backend tasks (end-of-run / eval determinism)."""
+        if self._tasks is not None:
+            self._tasks.join()
+
     # ------------------------------------------------------------------
 
     def ingest_rgb(self, frame_id: int, timestamp: str, rgb01: np.ndarray,
@@ -87,6 +120,13 @@ class SLAM:
             uimg=r["unnormalized_img"],
         )
 
+    def _submit_backend(self, kf_idx: int):
+        if self._tasks is not None:
+            self._tasks.put(kf_idx)
+        else:
+            with self.timer.time("backend.update"):
+                self._backend_update(kf_idx)
+
     def _backend_update(self, kf_idx: int):
         """One global-optimisation task (run_backend, main.py:96-143)."""
         cfg = self.cfg
@@ -105,12 +145,13 @@ class SLAM:
         kf_idxs = sorted(kf_idxs)
         if not kf_idxs:
             return
-        self.graph.add_factors(
-            kf_idxs,
-            [kf_idx] * len(kf_idxs),
-            self.cfg["local_opt"]["min_match_frac"],
-        )
-        self.graph.solve()
+        with self.lock:
+            self.graph.add_factors(
+                kf_idxs,
+                [kf_idx] * len(kf_idxs),
+                self.cfg["local_opt"]["min_match_frac"],
+            )
+            self.graph.solve()
 
     def _relocalize(self, frame: Frame) -> bool:
         """Retrieval-driven relocalisation (main.py:28-71)."""
@@ -162,9 +203,10 @@ class SLAM:
                 X.reshape(-1, 3), C.reshape(-1, 1),
                 mode=self.cfg["tracking"]["filtering_mode"],
             )
-            self.keyframes.append(frame)
+            with self.lock:
+                self.keyframes.append(frame)
             if self.retrieval is not None:
-                self._backend_update(0)
+                self._submit_backend(0)
             self.mode = Mode.TRACKING
             self._log(timestamp, frame)
             return frame
@@ -183,16 +225,16 @@ class SLAM:
             return frame
 
         # TRACKING
-        with self.timer.time("tracker.track"):
+        with self.timer.time("tracker.track"), self.lock:
             new_kf, try_reloc = self.tracker.track(frame)
         if try_reloc:
             self.mode = Mode.RELOC
             self._log(timestamp, frame)
             return frame
         if new_kf:
-            kf_idx = self.keyframes.append(frame)
-            with self.timer.time("backend.update"):
-                self._backend_update(kf_idx)
+            with self.lock:
+                kf_idx = self.keyframes.append(frame)
+            self._submit_backend(kf_idx)
         self._log(timestamp, frame)
         return frame
 
@@ -215,6 +257,7 @@ class SLAM:
             if verbose and i % 30 == 0 and i > 0:
                 fps = i / (time.time() - t0)
                 print(f"frame {i}/{n}  kf={len(self.keyframes)}  {fps:.2f} fps")
+        self.join_backend()
         jax.block_until_ready(self.keyframes.T_WC)
         wall = time.time() - t0
 

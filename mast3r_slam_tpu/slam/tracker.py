@@ -35,6 +35,7 @@ class TrackerSettings(NamedTuple):
     dist_thresh: float = 0.1
     radius: int = 3
     dilation_max: int = 5
+    refine_gate: str = "none"
     # tracking (config/base.yaml `tracking:`)
     min_match_frac: float = 0.05
     C_conf: float = 0.0
@@ -55,6 +56,7 @@ class TrackerSettings(NamedTuple):
             dist_thresh=m["dist_thresh"],
             radius=m["radius"],
             dilation_max=m["dilation_max"],
+            refine_gate=m.get("refine_gate", "none"),
             min_match_frac=t["min_match_frac"],
             C_conf=t["C_conf"],
             Q_conf=t["Q_conf"],
@@ -106,6 +108,7 @@ def _track_compute(
         dist_thresh=ts.dist_thresh,
         radius=ts.radius,
         dilation_max=ts.dilation_max,
+        refine_gate=ts.refine_gate,
     )
     idx_f2k = idx_f2k[0]  # (N,)
     valid_match = valid_match[0]  # (N, 1)

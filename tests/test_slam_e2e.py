@@ -86,3 +86,46 @@ def test_backend_improves_noisy_poses(slam_result):
     assert err_after < 0.3 * err_before, (err_before, err_after)
     # restore
     kf.T_WC = kf.T_WC.at[:n].set(jnp.asarray(clean))
+
+
+def test_gated_refine_speed_mode_tracks():
+    """The `refine_gate: converged` speed mode must still track the scene."""
+    from oracle import OracleDataset as _ODS
+
+    scene = PlaneScene(HW)
+    gt = arc_trajectory(N_FRAMES, radius=0.6, max_angle=2.5)
+    model = OracleModel(scene, gt, noise=0.002)
+    cfg = load_config("base")
+    cfg["engine"]["keyframe_buffer"] = 64
+    cfg["engine"]["edge_buffer"] = 64
+    cfg["matching"]["refine_gate"] = "converged"
+    slam = SLAM(model, cfg, HW)
+    result = slam.run(_ODS(N_FRAMES, HW), verbose=False)
+    assert result.n_reloc == 0
+    est = result.frame_poses[:, :3]
+    s, R, t = umeyama_alignment(est, gt[:, :3])
+    aligned = (s * (R @ est.T)).T + t
+    ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt[:, :3], axis=-1) ** 2)))
+    assert ate < 0.05, ate
+
+
+def test_async_backend_mode_tracks():
+    """single_thread: False runs the backend on a worker thread; the
+    trajectory must still come out right (reference live mode, main.py:225)."""
+    from oracle import OracleDataset as _ODS
+
+    scene = PlaneScene(HW)
+    gt = arc_trajectory(N_FRAMES, radius=0.6, max_angle=2.5)
+    model = OracleModel(scene, gt, noise=0.002)
+    cfg = load_config("base")
+    cfg["engine"]["keyframe_buffer"] = 64
+    cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = False
+    slam = SLAM(model, cfg, HW)
+    result = slam.run(_ODS(N_FRAMES, HW), verbose=False)
+    assert result.n_keyframes >= 2
+    est = result.frame_poses[:, :3]
+    s, R, t = umeyama_alignment(est, gt[:, :3])
+    aligned = (s * (R @ est.T)).T + t
+    ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt[:, :3], axis=-1) ** 2)))
+    assert ate < 0.05, ate
