@@ -244,19 +244,34 @@ class SLAM:
     # ------------------------------------------------------------------
 
     def run(self, dataset: MonocularDataset, max_frames: Optional[int] = None,
-            verbose: bool = True) -> SlamResult:
+            verbose: bool = True, prefetch: int = 2) -> SlamResult:
         n = len(dataset)
         if max_frames is not None:
             n = min(n, max_frames)
         last_T = None
         t0 = time.time()
-        for i in range(n):
-            timestamp, img = dataset[i]
+
+        # overlap host-side decode/undistort with device compute
+        fetch_q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+
+        def fetch():
+            for i in range(n):
+                fetch_q.put((i, dataset[i]))
+            fetch_q.put(None)
+
+        fetcher = threading.Thread(target=fetch, daemon=True)
+        fetcher.start()
+        while True:
+            item = fetch_q.get()
+            if item is None:
+                break
+            i, (timestamp, img) = item
             frame = self.process_frame(i, timestamp, img, last_T_WC=last_T)
             last_T = frame.T_WC
             if verbose and i % 30 == 0 and i > 0:
                 fps = i / (time.time() - t0)
                 print(f"frame {i}/{n}  kf={len(self.keyframes)}  {fps:.2f} fps")
+        fetcher.join()
         self.join_backend()
         jax.block_until_ready(self.keyframes.T_WC)
         wall = time.time() - t0
