@@ -99,6 +99,9 @@ def iter_proj(
     Returns (p_new (B, N, 2) float32, converged (B, N) bool).
     """
     B, H, W, _ = rays_with_grad_img.shape
+    rays_with_grad_img = rays_with_grad_img.astype(jnp.float32)
+    pts3d_norm = pts3d_norm.astype(jnp.float32)
+    p_init = p_init.astype(jnp.float32)
     table = _pack_bilinear_table(rays_with_grad_img)  # (B, HW, 36)
 
     u = jnp.clip(p_init[..., 0], 1.0, W - 2.0)

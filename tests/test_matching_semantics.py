@@ -1,0 +1,162 @@
+"""Matcher semantics vs a scalar numpy oracle of the reference CUDA kernels.
+
+The oracles below re-state the exact control flow of
+/root/reference/mast3r_slam/backend/src/matching_kernels.cu (per-pixel LM
+with lambda up/down and trailing-sample acceptance; dilation-pyramid
+descriptor argmax with inside-image skipping) so the vectorised XLA
+implementations can be checked step for step on small random problems.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mast3r_slam_tpu.ops import matching
+
+
+# ---------------------------------------------------------------------------
+# oracles (scalar, mirroring the CUDA loops)
+# ---------------------------------------------------------------------------
+
+def bilinear(img, u, v):
+    """Standard bilinear at float (u, v); img (H, W, C)."""
+    u0, v0 = int(np.floor(u)), int(np.floor(v))
+    du, dv = u - u0, v - v0
+    return (
+        (1 - du) * (1 - dv) * img[v0, u0]
+        + du * (1 - dv) * img[v0, u0 + 1]
+        + (1 - du) * dv * img[v0 + 1, u0]
+        + du * dv * img[v0 + 1, u0 + 1]
+    )
+
+
+def iter_proj_oracle(rays_img, target, u, v, max_iter, lam0, cost_thresh):
+    """One pixel of iter_proj_kernel (matching_kernels.cu:119-275)."""
+    H, W, _ = rays_img.shape
+    u = min(max(u, 1.0), W - 2.0)
+    v = min(max(v, 1.0), H - 2.0)
+    lam = lam0
+    conv = False
+
+    def sample(uu, vv):
+        s = bilinear(rays_img, uu, vv)
+        r = s[0:3] / np.linalg.norm(s[0:3])
+        err = r - target
+        return err, float(err @ err), s[3:6], s[6:9]
+
+    for _ in range(max_iter):
+        err, cost, gx, gy = sample(u, v)
+        A00 = gx @ gx + lam
+        A01 = gx @ gy
+        A11 = gy @ gy + lam
+        b0 = -(err @ gx)
+        b1 = -(err @ gy)
+        det = A00 * A11 - A01 * A01
+        det_inv = 0.0 if det == 0 else 1.0 / det
+        du = det_inv * (A11 * b0 - A01 * b1)
+        dv = det_inv * (-A01 * b0 + A00 * b1)
+        un = min(max(u + du, 1.0), W - 2.0)
+        vn = min(max(v + dv, 1.0), H - 2.0)
+        _, new_cost, _, _ = sample(un, vn)
+        if new_cost < cost:
+            u, v = un, vn
+            lam *= 0.1
+            conv = new_cost < cost_thresh
+        else:
+            lam *= 10.0
+            conv = cost < cost_thresh
+    return u, v, conv
+
+
+def refine_oracle(D11, d21, u0, v0, radius, dilation_max):
+    """One pixel of refine_matches_kernel (matching_kernels.cu:26-81)."""
+    H, W, _ = D11.shape
+    for d in range(dilation_max, 0, -1):
+        rd = radius * d
+        best, bu, bv = -np.inf, u0, v0
+        for dy in range(-rd, rd + 1, d):
+            for dx in range(-rd, rd + 1, d):
+                uu, vv = u0 + dx, v0 + dy
+                if 0 <= uu < W and 0 <= vv < H:
+                    score = float(D11[vv, uu] @ d21)
+                    if score > best:
+                        best, bu, bv = score, uu, vv
+        u0, v0 = bu, bv
+    return u0, v0
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def test_iter_proj_matches_cuda_semantics(rng):
+    H, W = 24, 32
+    # smooth ray field with gradients (as prep_for_iter_proj builds it)
+    X = rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.2 + [0, 0, 2.0]
+    from scipy.ndimage import gaussian_filter
+
+    X = gaussian_filter(X, sigma=(0, 2, 2, 0))
+    rays, _, _ = matching.prep_for_iter_proj(
+        jnp.asarray(X), jnp.asarray(X), None
+    )
+    rays_np = np.asarray(rays[0], dtype=np.float64)
+
+    n = 40
+    targets = rays_np[
+        rng.integers(1, H - 1, n), rng.integers(1, W - 1, n), 0:3
+    ].copy()
+    targets /= np.linalg.norm(targets, axis=-1, keepdims=True)
+    u_init = rng.uniform(1, W - 2, n)
+    v_init = rng.uniform(1, H - 2, n)
+
+    p, conv = matching.iter_proj(
+        rays,
+        jnp.asarray(targets, dtype=jnp.float32)[None],
+        jnp.asarray(np.stack([u_init, v_init], -1), dtype=jnp.float32)[None],
+        max_iter=8,
+        lambda_init=1e-8,
+        cost_thresh=1e-6,
+    )
+    p = np.asarray(p[0])
+    conv = np.asarray(conv[0])
+
+    for i in range(n):
+        uo, vo, co = iter_proj_oracle(
+            rays_np, targets[i], u_init[i], v_init[i], 8, 1e-8, 1e-6
+        )
+        # f32 vs f64 trajectories can diverge at decision boundaries; demand
+        # agreement to sub-pixel in the common case
+        assert abs(p[i, 0] - uo) < 0.5 and abs(p[i, 1] - vo) < 0.5, (
+            i, p[i], (uo, vo)
+        )
+
+
+def test_refine_matches_cuda_semantics(rng):
+    H, W, F = 20, 28, 8
+    D11 = rng.normal(size=(H, W, F)).astype(np.float32)
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
+    n = 50
+    u0 = rng.integers(0, W, n)
+    v0 = rng.integers(0, H, n)
+    D21 = rng.normal(size=(n, F)).astype(np.float32)
+    D21 /= np.linalg.norm(D21, axis=-1, keepdims=True)
+
+    out = matching.refine_matches(
+        jnp.asarray(D11)[None],
+        jnp.asarray(D21)[None],
+        jnp.asarray(np.stack([u0, v0], -1), dtype=jnp.int32)[None],
+        radius=2,
+        dilation_max=3,
+    )
+    out = np.asarray(out[0])
+
+    # int8-quantised oracle (the implementation quantises descriptors)
+    D11q = np.clip(np.round(D11 * 127), -127, 127)
+    D21q = np.clip(np.round(D21 * 127), -127, 127)
+    n_agree = 0
+    for i in range(n):
+        uo, vo = refine_oracle(D11q, D21q[i], int(u0[i]), int(v0[i]), 2, 3)
+        if out[i, 0] == uo and out[i, 1] == vo:
+            n_agree += 1
+    # ties under quantisation may break differently; demand near-total match
+    assert n_agree >= n - 2, (n_agree, n)
