@@ -128,16 +128,20 @@ class SLAM:
                 self._backend_update(kf_idx)
 
     def _backend_update(self, kf_idx: int):
-        """One global-optimisation task (run_backend, main.py:96-143)."""
+        """One global-optimisation task (run_backend, main.py:96-143).
+
+        Whole task holds the store lock in async mode: it touches the
+        retrieval DB, the factor graph, and keyframe poses."""
         cfg = self.cfg
         retrieval_inds: List[int] = []
         if self.retrieval is not None:
-            retrieval_inds = self.retrieval.update(
-                self.keyframes.get_frame(kf_idx),
-                add_after_query=True,
-                k=cfg["retrieval"]["k"],
-                min_thresh=cfg["retrieval"]["min_thresh"],
-            )
+            with self.lock:
+                retrieval_inds = self.retrieval.update(
+                    self.keyframes.get_frame(kf_idx),
+                    add_after_query=True,
+                    k=cfg["retrieval"]["k"],
+                    min_thresh=cfg["retrieval"]["min_thresh"],
+                )
         kf_idxs = set(retrieval_inds)
         if kf_idx - 1 >= 0:
             kf_idxs.add(kf_idx - 1)  # n_consec = 1 (main.py:100-107)
@@ -154,9 +158,16 @@ class SLAM:
             self.graph.solve()
 
     def _relocalize(self, frame: Frame) -> bool:
-        """Retrieval-driven relocalisation (main.py:28-71)."""
+        """Retrieval-driven relocalisation (main.py:28-71).
+
+        The reference holds the keyframe lock for the whole append/try/pop
+        dance (main.py:29-31); so do we."""
         if self.retrieval is None:
             return False
+        with self.lock:
+            return self._relocalize_locked(frame)
+
+    def _relocalize_locked(self, frame: Frame) -> bool:
         cfg = self.cfg
         inds = self.retrieval.update(
             frame,

@@ -23,6 +23,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     cfg = load_config("base")
     cfg["engine"]["keyframe_buffer"] = 32
     cfg["engine"]["edge_buffer"] = 32
+    cfg["single_thread"] = True  # deterministic eval-protocol mode
     ds = OracleDataset(N_FRAMES, HW)
 
     # run A: straight through

@@ -39,6 +39,7 @@ def test_reloc_recovers_from_teleport():
     cfg = load_config("base")
     cfg["engine"]["keyframe_buffer"] = 64
     cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True  # deterministic eval-protocol mode
     # the training-free random retrieval stack can't prune weak candidates by
     # score, so one bad candidate would veto strict (all-or-nothing) reloc;
     # use the reference's non-strict mode (config/eth3d.yaml `reloc.strict`)

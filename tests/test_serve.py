@@ -24,6 +24,7 @@ def oracle_factory():
     cfg = load_config("base")
     cfg["engine"]["keyframe_buffer"] = 32
     cfg["engine"]["edge_buffer"] = 32
+    cfg["single_thread"] = True  # deterministic eval-protocol mode
 
     def make(raw_hw):
         return SLAM(model, cfg, HW)

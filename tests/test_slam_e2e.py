@@ -31,6 +31,7 @@ def slam_result(tmp_path_factory):
     cfg = load_config("base")
     cfg["engine"]["keyframe_buffer"] = 64
     cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True  # deterministic eval-protocol mode
     slam = SLAM(model, cfg, HW)
     ds = OracleDataset(N_FRAMES, HW)
     result = slam.run(ds, verbose=False)
@@ -98,6 +99,7 @@ def test_gated_refine_speed_mode_tracks():
     cfg = load_config("base")
     cfg["engine"]["keyframe_buffer"] = 64
     cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True  # deterministic eval-protocol mode
     cfg["matching"]["refine_gate"] = "converged"
     slam = SLAM(model, cfg, HW)
     result = slam.run(_ODS(N_FRAMES, HW), verbose=False)
@@ -120,6 +122,7 @@ def test_async_backend_mode_tracks():
     cfg = load_config("base")
     cfg["engine"]["keyframe_buffer"] = 64
     cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True  # deterministic eval-protocol mode
     cfg["single_thread"] = False
     slam = SLAM(model, cfg, HW)
     result = slam.run(_ODS(N_FRAMES, HW), verbose=False)
