@@ -146,16 +146,21 @@ class DeviceIVF:
         self.n_entries = 0
         self.n_images = 0
 
-    def add(self, agg_packed, words, valid):
-        """Append one image's aggregated word vectors.
+    def add(self, agg_packed, words, valid, imid=None):
+        """Append one image's aggregated word vectors under image id `imid`.
 
         agg_packed (m, words) uint32; words (m,); valid (m,) bool.
-        Always writes the full m-row block (invalid rows keep word_id -1 and
-        never match) so every add has an identical static shape.
+        `imid` is the CALLER'S id (the SLAM layer passes the keyframe index,
+        so search scores are keyframe-indexed directly — insertion order and
+        keyframe order need not agree, e.g. async reloc).  Always writes the
+        full m-row block (invalid rows keep word_id -1 and never match) so
+        every add has an identical static shape.
         """
         m = agg_packed.shape[0]
         assert self.n_entries + m <= self.s.capacity, "IVF capacity exceeded"
-        imid = self.n_images
+        if imid is None:
+            imid = self.n_images
+        assert imid < self.s.max_images
         sl = slice(self.n_entries, self.n_entries + m)
         self.vecs = self.vecs.at[sl].set(agg_packed)
         self.word_ids = self.word_ids.at[sl].set(jnp.where(valid, words, -1))
@@ -166,7 +171,7 @@ class DeviceIVF:
             jnp.sum(valid.astype(jnp.float32))
         )
         self.n_entries += m
-        self.n_images += 1
+        self.n_images = max(self.n_images, imid + 1)
 
     def search(self, agg_packed, q_words, q_valid):
         """Score all images against one query (inverted_file.py:86-107).

@@ -88,10 +88,14 @@ class RetrievalDatabase:
         return sel[0]
 
     def update(self, frame, add_after_query: bool, k: int,
-               min_thresh: float = 0.0) -> List[int]:
+               min_thresh: float = 0.0, kf_index: Optional[int] = None
+               ) -> List[int]:
         """Query (if non-empty) then optionally add (retrieval_database.py:43-71).
 
-        Returns indices of the top-k matching database images above thresh.
+        `kf_index` is the id the added image is stored under (pass the
+        keyframe index so results are keyframe indices even when adds happen
+        out of append order, e.g. async reloc); defaults to a running counter.
+        Returns ids of the top-k matching database images above thresh.
         """
         feats = self._features(frame.feat)
         m = feats.shape[0]
@@ -111,10 +115,10 @@ class RetrievalDatabase:
             inds = [int(i) for i in top if scores_np[i] > min_thresh]
 
         if add_after_query:
-            self.add(frame, precomputed=(feats, q_codes))
+            self.add(frame, precomputed=(feats, q_codes), kf_index=kf_index)
         return inds
 
-    def add(self, frame, precomputed=None):
+    def add(self, frame, precomputed=None, kf_index: Optional[int] = None):
         """Aggregate with ma_build(=1) assignments and append to the IVF."""
         if precomputed is None:
             feats = self._features(frame.feat)
@@ -126,5 +130,6 @@ class RetrievalDatabase:
             feats, build_codes, self.centroids, feats.shape[0] * self.s.ma_build
         )
         packed = binarize_pack(agg)
-        self.ivf.add(packed, words, valid)
+        self.ivf.add(packed, words, valid,
+                     imid=self.kf_counter if kf_index is None else kf_index)
         self.kf_counter += 1

@@ -132,15 +132,19 @@ class SLAM:
 
         Whole task holds the store lock in async mode: it touches the
         retrieval DB, the factor graph, and keyframe poses."""
+        with self.lock:
+            self._backend_update_locked(kf_idx)
+
+    def _backend_update_locked(self, kf_idx: int):
         cfg = self.cfg
         retrieval_inds: List[int] = []
         if self.retrieval is not None:
-            with self.lock:
-                retrieval_inds = self.retrieval.update(
+            retrieval_inds = self.retrieval.update(
                     self.keyframes.get_frame(kf_idx),
                     add_after_query=True,
                     k=cfg["retrieval"]["k"],
                     min_thresh=cfg["retrieval"]["min_thresh"],
+                    kf_index=kf_idx,
                 )
         kf_idxs = set(retrieval_inds)
         if kf_idx - 1 >= 0:
@@ -149,13 +153,12 @@ class SLAM:
         kf_idxs = sorted(kf_idxs)
         if not kf_idxs:
             return
-        with self.lock:
-            self.graph.add_factors(
-                kf_idxs,
-                [kf_idx] * len(kf_idxs),
-                self.cfg["local_opt"]["min_match_frac"],
-            )
-            self.graph.solve()
+        self.graph.add_factors(
+            kf_idxs,
+            [kf_idx] * len(kf_idxs),
+            self.cfg["local_opt"]["min_match_frac"],
+        )
+        self.graph.solve()
 
     def _relocalize(self, frame: Frame) -> bool:
         """Retrieval-driven relocalisation (main.py:28-71).
@@ -192,6 +195,7 @@ class SLAM:
             self.retrieval.update(
                 frame, add_after_query=True,
                 k=cfg["retrieval"]["k"], min_thresh=cfg["retrieval"]["min_thresh"],
+                kf_index=kf_idx,
             )
             # snap to the best retrieved keyframe's pose (main.py:61)
             self.keyframes.update_pose(kf_idx, self.keyframes.T_WC[inds[0]])

@@ -122,7 +122,6 @@ def test_async_backend_mode_tracks():
     cfg = load_config("base")
     cfg["engine"]["keyframe_buffer"] = 64
     cfg["engine"]["edge_buffer"] = 64
-    cfg["single_thread"] = True  # deterministic eval-protocol mode
     cfg["single_thread"] = False
     slam = SLAM(model, cfg, HW)
     result = slam.run(_ODS(N_FRAMES, HW), verbose=False)
