@@ -29,7 +29,13 @@ def build_slam(cfg, dataset, checkpoint=None, retrieval_checkpoint=None,
     (h, w), _ = dataset.get_img_shape()
     img_hw = (int(h), int(w))
 
+    import dataclasses
+    import jax.numpy as _jnp
+
     mcfg = M.VIT_LARGE if preset == "vit_large" else M.VIT_TINY_TEST
+    trunk_dtype = cfg.get("engine", {}).get("dtype", "bfloat16")
+    if preset == "vit_large" and trunk_dtype == "float32":
+        mcfg = dataclasses.replace(mcfg, dtype=_jnp.float32)
     if checkpoint:
         model = MASt3RModel.from_torch_checkpoint(checkpoint, img_hw, mcfg)
     else:

@@ -143,3 +143,29 @@ def test_full_inference_parity(torch_model, jax_model, image):
     np.testing.assert_allclose(
         np.asarray(D2), res2["desc"].numpy(), atol=1e-4, rtol=1e-3
     )
+
+
+def test_portrait_grid_parity(torch_model, jax_model, rng_module):
+    """Portrait aspect (H > W): grid/rope/head plumbing must still match."""
+    import jax.numpy as jnp
+    import torch
+
+    from mast3r_slam_tpu.models import mast3r as M
+
+    params, cfg = jax_model
+    Hp, Wp = 96, 64
+    img = rng_module.normal(size=(1, 3, Hp, Wp)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        shape = torch.tensor([[Hp, Wp]], dtype=torch.int32)
+        feat_t, pos_t, _ = torch_model._encode_image(torch.from_numpy(img), shape)
+        dec1, dec2 = torch_model._decoder(feat_t, pos_t, feat_t, pos_t)
+        res1 = torch_model._downstream_head(1, [t.float() for t in dec1], shape)
+
+    feat_j, pos_j = M.encode_image(params, cfg, jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(pos_j), pos_t.numpy())
+    (X1, C1, D1, Q1), _ = M.inference_asymmetric(
+        params, cfg, feat_j, pos_j, feat_j, pos_j, cfg.grid((Hp, Wp))
+    )
+    np.testing.assert_allclose(
+        np.asarray(X1), res1["pts3d"].numpy(), atol=1e-3, rtol=1e-3
+    )

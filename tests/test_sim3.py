@@ -131,3 +131,23 @@ def test_to_se3(rng):
     T = random_sim3(rng, 3)
     se3 = np.asarray(sim3.to_se3(jnp.asarray(T)))
     np.testing.assert_allclose(se3, T[..., :7])
+
+
+def test_log_handles_quaternion_double_cover(rng):
+    """log must be stable for qw < 0 (retraction chains can flip the sign)."""
+    xi = rng.normal(size=(5, 7)).astype(np.float64) * 0.5
+    T = np.asarray(sim3.exp(jnp.asarray(xi)))
+    T_neg = T.copy()
+    T_neg[:, 3:7] *= -1.0  # same rotation, opposite quaternion sign
+    X = rng.normal(size=(5, 20, 3)).astype(np.float64)
+    np.testing.assert_allclose(
+        np.asarray(sim3.act(jnp.asarray(T_neg)[:, None], jnp.asarray(X))),
+        np.asarray(sim3.act(jnp.asarray(T)[:, None], jnp.asarray(X))),
+        atol=1e-10,
+    )
+    back = np.asarray(sim3.exp(sim3.log(jnp.asarray(T_neg))))
+    # exp(log(T)) must reproduce the same TRANSFORM (quat up to sign)
+    for i in range(5):
+        M1 = np_matrix(T_neg[i])
+        M2 = np_matrix(back[i])
+        np.testing.assert_allclose(M1, M2, atol=1e-8)
