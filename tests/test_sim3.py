@@ -145,7 +145,7 @@ def test_log_handles_quaternion_double_cover(rng):
         np.asarray(sim3.act(jnp.asarray(T)[:, None], jnp.asarray(X))),
         atol=1e-10,
     )
-    back = np.asarray(sim3.exp(sim3.log(jnp.asarray(T_neg))))
+    back = np.array(sim3.exp(sim3.log(jnp.asarray(T_neg))))
     # exp(log(T)) must reproduce the same TRANSFORM (quat up to sign)
     for i in range(5):
         M1 = np_matrix(T_neg[i])
