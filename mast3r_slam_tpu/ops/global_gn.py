@@ -136,22 +136,24 @@ def _calib_residuals(Tij, Xi, Xj, K, img_hw, border, z_eps):
 # edge Hessian/gradient
 # ---------------------------------------------------------------------------
 
-def _edge_block_rays(Twc, Xs, Cs, settings, edge):
-    """One edge -> (H_e (7,7), g_e (7,)): Hjj block and gj gradient.
+def precompute_edge_data(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
+                         settings, mode: str, img_hw):
+    """Gather per-edge correspondences ONCE before the GN iterations.
 
-    All four assembled blocks follow from Ji = -Jj.
+    The match indices and confidence gates are pose-independent, but the
+    original formulation re-gathered Xs/Cs inside every iteration — at SLAM
+    scale that is E x N small-row gathers x max_iters, the dominant cost of a
+    solve.  Returns (Xi (E,N,3), Xj (E,N,3), sq (E,N) [valid*sqrt(q)],
+    ut, vt (E,N) calib target pixels or zeros).
     """
-    ei, ej, idx, valid_match, Q = edge
-    Ti = Twc[ei]
-    Tj = Twc[ej]
-    Tij = sim3.rel(Ti, Tj)
-    Xi = Xs[ei][idx]  # (N, 3) gathered at match indices
-    Xj = Xs[ej]
-    ci = Cs[ei][idx][..., 0]
-    cj = Cs[ej][..., 0]
-
-    err, J_local = _ray_residuals(Tij, Xi, Xj)
-
+    H, W = img_hw
+    XsC = jnp.concatenate([Xs, Cs], axis=-1)  # (P, N, 4)
+    rows_i = XsC[ii]  # (E, N, 4) - large-row gather, cheap
+    gath = jnp.take_along_axis(rows_i, idx_ii2jj[..., None], axis=1)
+    Xi = gath[..., 0:3]
+    ci = gath[..., 3]
+    Xj = Xs[jj]
+    cj = Cs[jj][..., 0]
     q = Q[..., 0]
     valid = (
         valid_match[..., 0]
@@ -159,7 +161,29 @@ def _edge_block_rays(Twc, Xs, Cs, settings, edge):
         & (ci > settings.C_conf)
         & (cj > settings.C_conf)
     )
+    if mode == "calib":
+        valid = valid & (Xi[..., 2] > settings.depth_eps)
+        ut = (idx_ii2jj % W).astype(Xi.dtype)
+        vt = (idx_ii2jj // W).astype(Xi.dtype)
+    else:
+        ut = jnp.zeros_like(q)
+        vt = jnp.zeros_like(q)
     sq = jnp.sqrt(q) * valid
+    return Xi, Xj, sq, ut, vt
+
+
+def _edge_block_rays(Twc, settings, edge):
+    """One edge -> (H_e (7,7), g_e (7,)): Hjj block and gj gradient.
+
+    All four assembled blocks follow from Ji = -Jj.
+    """
+    ei, ej, Xi, Xj, sq, _, _ = edge
+    Ti = Twc[ei]
+    Tj = Twc[ej]
+    Tij = sim3.rel(Ti, Tj)
+
+    err, J_local = _ray_residuals(Tij, Xi, Xj)
+
     sqrt_w = jnp.stack(
         [
             sq / settings.sigma_ray,
@@ -177,18 +201,14 @@ def _edge_block_rays(Twc, Xs, Cs, settings, edge):
     return H_e, g_e
 
 
-def _edge_block_points(Twc, Xs, Cs, settings, edge):
+def _edge_block_points(Twc, settings, edge):
     """Point-to-point alignment blocks (point_align_kernel,
     gn_kernels.cu:455-723): residual T_ij Xj - Xi[idx], 3 rows/pixel,
     sigma_point whitening."""
-    ei, ej, idx, valid_match, Q = edge
+    ei, ej, Xi, Xj, sq_in, _, _ = edge
     Ti = Twc[ei]
     Tj = Twc[ej]
     Tij = sim3.rel(Ti, Tj)
-    Xi = Xs[ei][idx]
-    Xj = Xs[ej]
-    ci = Cs[ei][idx][..., 0]
-    cj = Cs[ej][..., 0]
 
     P = sim3.act(Tij, Xj)
     err = P - Xi  # (N, 3)
@@ -202,14 +222,7 @@ def _edge_block_points(Twc, Xs, Cs, settings, edge):
     ).reshape(N, 3, 3)
     J_local = jnp.concatenate([eye, neg_skew, P[..., :, None]], axis=-1)
 
-    q = Q[..., 0]
-    valid = (
-        valid_match[..., 0]
-        & (q > settings.Q_conf)
-        & (ci > settings.C_conf)
-        & (cj > settings.C_conf)
-    )
-    sq = jnp.sqrt(q) * valid / settings.sigma_point
+    sq = sq_in / settings.sigma_point
     sqrt_w = jnp.stack([sq, sq, sq], axis=-1)
     w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
 
@@ -219,22 +232,15 @@ def _edge_block_points(Twc, Xs, Cs, settings, edge):
     return H_e, g_e
 
 
-def _edge_block_calib(Twc, Xs, Cs, K, img_hw, settings, edge):
-    ei, ej, idx, valid_match, Q = edge
-    H, W = img_hw
+def _edge_block_calib(Twc, K, img_hw, settings, edge):
+    ei, ej, Xi, Xj, sq_in, u_t, v_t = edge
     Ti = Twc[ei]
     Tj = Twc[ej]
     Tij = sim3.rel(Ti, Tj)
-    Xi = Xs[ei][idx]
-    Xj = Xs[ej]
-    ci = Cs[ei][idx][..., 0]
-    cj = Cs[ej][..., 0]
 
     (u, v, rz), (fx, fy, xz, yz, z_inv), valid_extra = _calib_residuals(
         Tij, Xi, Xj, K, img_hw, settings.pixel_border, settings.depth_eps
     )
-    u_t = (idx % W).astype(u.dtype)
-    v_t = (idx // W).astype(u.dtype)
     err = jnp.stack([u - u_t, v - v_t, rz], axis=-1)  # (N, 3)
 
     N = Xj.shape[0]
@@ -251,15 +257,9 @@ def _edge_block_calib(Twc, Xs, Cs, K, img_hw, settings, edge):
     J_z = jnp.stack([o, o, z_inv, yz, -xz, o, one], axis=-1)
     J_local = jnp.stack([J_u, J_v, J_z], axis=1)  # (N, 3, 7)
 
-    q = Q[..., 0]
-    valid = (
-        valid_match[..., 0]
-        & (q > settings.Q_conf)
-        & (ci > settings.C_conf)
-        & (cj > settings.C_conf)
-        & valid_extra[..., 0]
-    )
-    sq = jnp.sqrt(q) * valid
+    # pose-dependent validity (projection bounds / positive depth) applied on
+    # top of the precomputed pose-independent gate
+    sq = sq_in * valid_extra[..., 0]
     sqrt_w = jnp.stack(
         [sq / settings.sigma_pixel, sq / settings.sigma_pixel, sq / settings.sigma_depth],
         axis=-1,
@@ -338,19 +338,23 @@ def gauss_newton_poses(
     """
     P = Twc.shape[0]
 
+    Xi_all, Xj_all, sq_all, ut_all, vt_all = precompute_edge_data(
+        Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, settings, mode, img_hw
+    )
+
     if mode == "rays":
-        block_fn = lambda Twc_, edge: _edge_block_rays(Twc_, Xs, Cs, settings, edge)
+        block_fn = lambda Twc_, edge: _edge_block_rays(Twc_, settings, edge)
     elif mode == "points":
-        block_fn = lambda Twc_, edge: _edge_block_points(Twc_, Xs, Cs, settings, edge)
+        block_fn = lambda Twc_, edge: _edge_block_points(Twc_, settings, edge)
     else:
         block_fn = lambda Twc_, edge: _edge_block_calib(
-            Twc_, Xs, Cs, K, img_hw, settings, edge
+            Twc_, K, img_hw, settings, edge
         )
 
     def one_iter(Twc_):
         H_e, g_e = jax.lax.map(
             partial(block_fn, Twc_),
-            (ii, jj, idx_ii2jj, valid_match, Q),
+            (ii, jj, Xi_all, Xj_all, sq_all, ut_all, vt_all),
             batch_size=settings.edge_batch,
         )
         dx, ok = _assemble_and_solve(H_e, g_e, ii, jj, P, settings.pin)

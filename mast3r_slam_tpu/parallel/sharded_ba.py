@@ -26,27 +26,27 @@ from ..ops.global_gn import (
     _edge_block_calib,
     _edge_block_points,
     _edge_block_rays,
+    precompute_edge_data,
 )
 from .mesh import EDGE_AXIS
 
 
-def _local_blocks(Twc, Xs, Cs, K, img_hw, settings, mode, ii, jj, idx, valid, Q):
+def _local_blocks(Twc, K, img_hw, settings, mode, ii, jj, edge_data):
     """Accumulate this shard's edge blocks into dense (M+1,..) scatter arrays."""
     P_total = Twc.shape[0]
     pin = settings.pin
     M = P_total - pin
 
     if mode == "rays":
-        block_fn = lambda edge: _edge_block_rays(Twc, Xs, Cs, settings, edge)
+        block_fn = lambda edge: _edge_block_rays(Twc, settings, edge)
     elif mode == "points":
-        block_fn = lambda edge: _edge_block_points(Twc, Xs, Cs, settings, edge)
+        block_fn = lambda edge: _edge_block_points(Twc, settings, edge)
     else:
-        block_fn = lambda edge: _edge_block_calib(
-            Twc, Xs, Cs, K, img_hw, settings, edge
-        )
+        block_fn = lambda edge: _edge_block_calib(Twc, K, img_hw, settings, edge)
 
+    Xi, Xj, sq, ut, vt = edge_data
     H_e, g_e = jax.lax.map(
-        block_fn, (ii, jj, idx, valid, Q), batch_size=settings.edge_batch
+        block_fn, (ii, jj, Xi, Xj, sq, ut, vt), batch_size=settings.edge_batch
     )
 
     io = jnp.where(ii - pin >= 0, ii - pin, M)
@@ -107,12 +107,23 @@ def gauss_newton_poses_sharded(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(rspec, rspec, rspec, rspec, espec, espec, espec, espec, espec),
+        in_specs=(rspec, rspec, rspec, espec, espec, espec, espec, espec),
+        out_specs=(espec, espec, espec, espec, espec),
+    )
+    def precompute(Xs_, Cs_, K_, ii_, jj_, idx_, valid_, Q_):
+        return precompute_edge_data(
+            Xs_, Cs_, ii_, jj_, idx_, valid_, Q_, settings, mode, img_hw
+        )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rspec, rspec, espec, espec) + (espec,) * 5,
         out_specs=(rspec, rspec),
     )
-    def accumulate(Twc_, Xs_, Cs_, K_, ii_, jj_, idx_, valid_, Q_):
+    def accumulate(Twc_, K_, ii_, jj_, Xi_, Xj_, sq_, ut_, vt_):
         Hbig, gbig = _local_blocks(
-            Twc_, Xs_, Cs_, K_, img_hw, settings, mode, ii_, jj_, idx_, valid_, Q_
+            Twc_, K_, img_hw, settings, mode, ii_, jj_, (Xi_, Xj_, sq_, ut_, vt_)
         )
         # one ICI collective reduces the normal equations across the mesh
         Hbig = jax.lax.psum(Hbig, EDGE_AXIS)
@@ -121,8 +132,11 @@ def gauss_newton_poses_sharded(
 
     @jax.jit
     def run(Twc0, Xs_, Cs_, K_, ii_, jj_, idx_, valid_, Q_):
+        # correspondence gathers are pose-independent: once, before the loop
+        edge_data = precompute(Xs_, Cs_, K_, ii_, jj_, idx_, valid_, Q_)
+
         def one_iter(Twc_):
-            Hbig, gbig = accumulate(Twc_, Xs_, Cs_, K_, ii_, jj_, idx_, valid_, Q_)
+            Hbig, gbig = accumulate(Twc_, K_, ii_, jj_, *edge_data)
             dx, ok = _solve_dense(Hbig, gbig, P_total, pin)
             dx_full = jnp.concatenate(
                 [jnp.zeros((pin, 7), dtype=dx.dtype), dx], axis=0
