@@ -125,7 +125,7 @@ def dpt_forward(p, hook_tokens, grid_hw, num_channels: int):
         B, N, C = tok.shape
         return tok.reshape(B, nh, nw, C)
 
-    l1, l2, l3, l4 = [to_map(t.astype(jnp.float32)) for t in hook_tokens]
+    l1, l2, l3, l4 = [to_map(t) for t in hook_tokens]
 
     # reassemble to 4 scales (act_postprocess, dpt_block.py:355-414)
     l1 = conv2d(p["act1"]["conv"], l1)               # 1x1 -> 96

@@ -56,7 +56,10 @@ class ModelConfig:
     layer_dims: Tuple[int, int, int, int] = (96, 192, 384, 768)
     conf_offset: float = 1.0       # conf_mode=('exp', 1, inf)
     desc_conf_offset: float = 0.0  # desc_conf_mode=('exp', 0, inf)
-    dtype: Any = jnp.bfloat16      # trunk compute dtype (heads always f32)
+    dtype: Any = jnp.bfloat16      # trunk compute dtype
+    head_dtype: Any = jnp.float32  # DPT/MLP head dtype (reference pins f32,
+                                   # mast3r_utils.py:36-39; bf16 is a perf
+                                   # knob pending real-ATE validation)
 
     @property
     def head_dim_enc(self):
@@ -235,17 +238,17 @@ def _pixel_shuffle_tokens(tok, grid_hw, P: int, C: int):
 
 def head_forward(head_params, cfg: ModelConfig, hook_tokens, grid_hw):
     """DPT + local-feature head -> raw (B, H, W, 4 + desc_dim + 1) f32 map."""
+    hd = cfg.head_dtype
+    hook_tokens = [t.astype(hd) for t in hook_tokens]
     pts_conf = dpt_mod.dpt_forward(head_params["dpt"], list(hook_tokens), grid_hw, 4)
 
     enc_out, _, _, dec_out = hook_tokens
-    cat = jnp.concatenate(
-        [enc_out.astype(jnp.float32), dec_out.astype(jnp.float32)], axis=-1
-    )
+    cat = jnp.concatenate([enc_out, dec_out], axis=-1)
     local = mlp(head_params["local_mlp"], cat)  # (B, N, (desc+1)*P*P)
     local_map = _pixel_shuffle_tokens(
         local, grid_hw, cfg.patch_size, cfg.desc_dim + 1
     )
-    return jnp.concatenate([pts_conf, local_map], axis=-1)
+    return jnp.concatenate([pts_conf, local_map], axis=-1).astype(jnp.float32)
 
 
 def postprocess(raw, cfg: ModelConfig):
