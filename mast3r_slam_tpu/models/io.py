@@ -1,0 +1,73 @@
+"""Param pytree persistence (npz).
+
+Converting the reference torch checkpoint takes tens of seconds (torch load +
+layout transposes); cache the converted pytree once and reload in ~1s:
+
+    params, cfg = load_torch_checkpoint("MASt3R....pth")
+    save_params("mast3r_vitl.npz", params)
+    params = load_params("mast3r_vitl.npz")
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SEP = "/"
+
+
+def _flatten(params):
+    flat = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(f"{prefix}{_SEP}{k}" if prefix else k, v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                rec(f"{prefix}{_SEP}{i}", v)
+        elif node is None:
+            flat[f"{prefix}{_SEP}__none__"] = np.zeros((0,))
+        else:
+            flat[prefix] = np.asarray(node)
+
+    rec("", params)
+    return flat
+
+
+def save_params(path, params) -> None:
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **_flatten(params))
+
+
+def load_params(path):
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        parts = key.split(_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        leaf = parts[-1]
+        if leaf == "__none__":
+            # collapse to None at the parent level handled below
+            node["__none_marker__"] = True
+            continue
+        node[leaf] = jnp.asarray(data[key])
+
+    def fix(node):
+        if isinstance(node, dict):
+            if node.get("__none_marker__"):
+                return None
+            keys = list(node.keys())
+            # integer-keyed dicts were lists
+            if keys and all(k.isdigit() for k in keys):
+                return [fix(node[str(i)]) for i in range(len(keys))]
+            return {k: fix(v) for k, v in node.items()}
+        return node
+
+    return fix(tree)

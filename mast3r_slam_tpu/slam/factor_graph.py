@@ -95,7 +95,7 @@ class FactorGraph:
         n_new = int(keep.sum())
         if n_new == 0:
             return False
-        assert self.n_edges + n_new <= self.capacity, "edge buffer full"
+        self._ensure_capacity(self.n_edges + n_new)
         sl = slice(self.n_edges, self.n_edges + n_new)
         kidx = np.nonzero(keep)[0]
         self.ii[sl] = ii_arr[kidx]
@@ -109,6 +109,32 @@ class FactorGraph:
         self.Q_jj2ii = self.Q_jj2ii.at[sl].set(out["Qi"][kidx_j])
         self.n_edges += n_new
         return True
+
+    def _ensure_capacity(self, needed: int):
+        """Double the edge SoA when full (long-video ingest can outgrow the
+        initial allocation; growth is pow2 so solve-bucket recompiles stay
+        rare)."""
+        if needed <= self.capacity:
+            return
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        N = self.N
+        pad = new_cap - self.capacity
+
+        def grow(a, fill=0):
+            pad_widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, pad_widths, constant_values=fill)
+
+        self.idx_ii2jj = grow(self.idx_ii2jj)
+        self.idx_jj2ii = grow(self.idx_jj2ii)
+        self.valid_match_j = grow(self.valid_match_j)
+        self.valid_match_i = grow(self.valid_match_i)
+        self.Q_ii2jj = grow(self.Q_ii2jj)
+        self.Q_jj2ii = grow(self.Q_jj2ii)
+        self.ii = np.concatenate([self.ii, np.zeros(pad, np.int32)])
+        self.jj = np.concatenate([self.jj, np.zeros(pad, np.int32)])
+        self.capacity = new_cap
 
     def _match_kwargs(self):
         m = self.cfg["matching"]

@@ -36,7 +36,11 @@ def build_slam(cfg, dataset, checkpoint=None, retrieval_checkpoint=None,
     trunk_dtype = cfg.get("engine", {}).get("dtype", "bfloat16")
     if preset == "vit_large" and trunk_dtype == "float32":
         mcfg = dataclasses.replace(mcfg, dtype=_jnp.float32)
-    if checkpoint:
+    if checkpoint and str(checkpoint).endswith(".npz"):
+        from ..models.io import load_params
+
+        model = MASt3RModel(load_params(checkpoint), mcfg, img_hw)
+    elif checkpoint:
         model = MASt3RModel.from_torch_checkpoint(checkpoint, img_hw, mcfg)
     else:
         print("WARNING: no checkpoint; random weights (geometry will be noise)",

@@ -62,3 +62,22 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert abs(len(Ta) - len(Tb)) <= 1
     k = min(len(Ta), len(Tb))
     np.testing.assert_allclose(Ta[:k, :3], Tb[:k, :3], atol=0.02)
+
+
+def test_params_io_roundtrip(tmp_path):
+    import jax
+
+    from mast3r_slam_tpu.models import mast3r as M
+    from mast3r_slam_tpu.models.io import load_params, save_params
+
+    params = M.init_params(jax.random.key(0), M.VIT_TINY_TEST)
+    f = tmp_path / "p.npz"
+    save_params(f, params)
+    back = load_params(f)
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # structure must match too (same treedef)
+    assert jax.tree.structure(params) == jax.tree.structure(back)
