@@ -179,7 +179,7 @@ class FactorGraph:
             .at[E : 2 * E].set(self.valid_match_i[:E])
         )
         Q = jnp.zeros((Epad, self.N, 1), dtype=jnp.float32)
-        Q = valid * Q.at[:E].set(self.Q_ii2jj[:E]).at[E : 2 * E].set(self.Q_jj2ii[:E])
+        Q = Q.at[:E].set(self.Q_ii2jj[:E]).at[E : 2 * E].set(self.Q_jj2ii[:E])
 
         kf = self.keyframes
         Twc = kf.T_WC[:Ppad]

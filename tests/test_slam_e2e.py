@@ -131,3 +131,21 @@ def test_async_backend_mode_tracks():
     aligned = (s * (R @ est.T)).T + t
     ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt[:, :3], axis=-1) ** 2)))
     assert ate < 0.05, ate
+
+
+def test_factor_graph_edge_growth():
+    """Edge SoA must transparently grow past its initial capacity."""
+    from oracle import OracleDataset as _ODS
+
+    scene = PlaneScene(HW)
+    gt = arc_trajectory(N_FRAMES, radius=0.6, max_angle=2.5)
+    model = OracleModel(scene, gt, noise=0.002)
+    cfg = load_config("base")
+    cfg["engine"]["keyframe_buffer"] = 64
+    cfg["engine"]["edge_buffer"] = 2  # force growth
+    cfg["single_thread"] = True
+    slam = SLAM(model, cfg, HW)
+    result = slam.run(_ODS(N_FRAMES, HW), verbose=False)
+    assert slam.graph.n_edges > 2
+    assert slam.graph.capacity >= slam.graph.n_edges
+    assert result.n_keyframes >= 2
