@@ -20,6 +20,26 @@ import jax.numpy as jnp
 REFERENCE_FPS = 15.0
 
 
+def _watchdog(seconds: float):
+    """Remote-TPU relays can wedge (dead chip claim); never hang the driver —
+    abort with a clear error instead of printing nothing forever."""
+    import os
+    import threading
+
+    def boom():
+        print(
+            f"bench watchdog: no progress in {seconds:.0f}s — device "
+            "unreachable/wedged; aborting without a result",
+            file=sys.stderr,
+        )
+        os._exit(2)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     from mast3r_slam_tpu.models import mast3r as M
     from mast3r_slam_tpu.slam.tracker import TrackerSettings, _track_compute
@@ -30,6 +50,14 @@ def main():
     N = H * W
     cfg = M.VIT_LARGE
     grid = cfg.grid((H, W))
+
+    # liveness probe under a short watchdog, then a generous compile window
+    probe_guard = _watchdog(180)
+    import numpy as _np
+
+    _ = _np.asarray((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0])
+    probe_guard.cancel()
+    _watchdog(1800)
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     params = M.init_params(jax.random.key(0), cfg)
