@@ -78,6 +78,8 @@ def main(argv=None):
                         help="tiny = smoke-test trunk (random weights)")
     parser.add_argument("--profile", action="store_true",
                         help="print per-stage timing report at the end")
+    parser.add_argument("--trace", default="",
+                        help="write a jax.profiler trace (xplane) to this dir")
     parser.add_argument("--platform", default="",
                         help="force jax platform (e.g. cpu); needed because "
                              "TPU-tunnel hosts pre-select a platform at "
@@ -134,7 +136,13 @@ def main(argv=None):
         codebook=args.codebook or None,
         preset=args.model_preset,
     )
-    result = slam.run(dataset, max_frames=args.max_frames)
+    if args.trace:
+        import jax
+
+        with jax.profiler.trace(args.trace):
+            result = slam.run(dataset, max_frames=args.max_frames)
+    else:
+        result = slam.run(dataset, max_frames=args.max_frames)
 
     save_dir = pathlib.Path("logs")
     if args.save_as != "default":
