@@ -82,34 +82,59 @@ def _ray_err(sample, target):
     return err, cost, sample[..., 3:6], sample[..., 6:9]
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def iter_proj(
-    rays_with_grad_img,
-    pts3d_norm,
-    p_init,
-    max_iter: int = 10,
-    lambda_init: float = 1e-8,
-    cost_thresh: float = 1e-6,
-):
-    """Vectorised per-pixel LM projective association.
+def fit_pinhole_from_rays(rays, eps: float = 1e-6):
+    """Closed-form least-squares pinhole fit to a unit-ray image.
 
-    rays_with_grad_img: (B, H, W, 9)  [unit ray, d/dx, d/dy]
-    pts3d_norm:         (B, N, 3)     unit target rays
-    p_init:             (B, N, 2)     initial (u, v) guesses
-    Returns (p_new (B, N, 2) float32, converged (B, N) bool).
+    rays: (B, H, W, 3).  Fits ``u = fx*(rx/rz) + cx`` and
+    ``v = fy*(ry/rz) + cy`` over pixels with rz > eps (independent 1-D
+    regressions — exact for a pinhole ray image, near-exact after
+    undistortion).  Returns (fx, fy, cx, cy), each (B,).
     """
-    B, H, W, _ = rays_with_grad_img.shape
-    rays_with_grad_img = rays_with_grad_img.astype(jnp.float32)
-    pts3d_norm = pts3d_norm.astype(jnp.float32)
-    p_init = p_init.astype(jnp.float32)
-    table = _pack_bilinear_table(rays_with_grad_img)  # (B, HW, 36)
+    B, H, W, _ = rays.shape
+    dt = rays.dtype
+    rz = rays[..., 2]
+    valid = (rz > eps).astype(dt)
+    safe_z = jnp.where(rz > eps, rz, 1.0)
+    x = (rays[..., 0] / safe_z) * valid
+    y = (rays[..., 1] / safe_z) * valid
+    u = jnp.broadcast_to(jnp.arange(W, dtype=dt)[None, None, :], (B, H, W))
+    v = jnp.broadcast_to(jnp.arange(H, dtype=dt)[None, :, None], (B, H, W))
+    n = jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1.0)
 
-    u = jnp.clip(p_init[..., 0], 1.0, W - 2.0)
-    v = jnp.clip(p_init[..., 1], 1.0, H - 2.0)
-    lam = jnp.full(u.shape, lambda_init, dtype=u.dtype)
-    conv = jnp.zeros(u.shape, dtype=bool)
+    def fit(a, b):
+        am = (jnp.sum(a, (1, 2)) / n)[:, None, None]
+        bm = (jnp.sum(b * valid, (1, 2)) / n)[:, None, None]
+        cov = jnp.sum((a - am) * (b - bm) * valid, (1, 2))
+        var = jnp.sum((a - am) ** 2 * valid, (1, 2))
+        slope = cov / jnp.maximum(var, eps)
+        return slope, (bm[:, 0, 0] - slope * am[:, 0, 0])
 
-    err, cost, gx, gy = _ray_err(_sample_packed(table, W, u, v), pts3d_norm)
+    fx, cx = fit(x, u)
+    fy, cy = fit(y, v)
+    return fx, fy, cx, cy
+
+
+def pinhole_init(rays_img, pts3d_norm):
+    """Project target rays through a pinhole fitted to the ray image.
+
+    The canonical ray image is near-pinhole, so this lands within ~a pixel
+    of the LM optimum and slashes the iterations needed (ROADMAP item 2).
+    rays_img: (B, H, W, >=3); pts3d_norm: (B, N, 3).  Returns (B, N, 2).
+    """
+    fx, fy, cx, cy = fit_pinhole_from_rays(rays_img[..., :3])
+    tz = jnp.maximum(pts3d_norm[..., 2], 1e-6)
+    u = fx[:, None] * pts3d_norm[..., 0] / tz + cx[:, None]
+    v = fy[:, None] * pts3d_norm[..., 1] / tz + cy[:, None]
+    return jnp.stack([u, v], axis=-1)
+
+
+def _lm_body(table, W, H, pts3d_norm, cost_thresh):
+    """One lock-step LM iteration over (B, N) pixel states.
+
+    Exactly the CUDA loop body (matching_kernels.cu:152-266): solve the
+    2x2 LM system, test the trial sample, accept/reject, adapt lambda.
+    The accepted trial sample is carried so each iteration costs ONE gather.
+    """
 
     def body(_, state):
         u, v, lam, conv, err, cost, gx, gy = state
@@ -144,9 +169,98 @@ def iter_proj(
         cost = jnp.where(accept, n_cost, cost)
         return u, v, lam, conv, err, cost, gx, gy
 
+    return body
+
+
+@partial(jax.jit, static_argnames=("max_iter", "gate", "pre_iters", "budget_frac"))
+def iter_proj(
+    rays_with_grad_img,
+    pts3d_norm,
+    p_init,
+    max_iter: int = 10,
+    lambda_init: float = 1e-8,
+    cost_thresh: float = 1e-6,
+    gate: str = "none",
+    pre_iters: int = 2,
+    budget_frac: float = 0.125,
+    p_init_alt=None,
+):
+    """Vectorised per-pixel LM projective association.
+
+    rays_with_grad_img: (B, H, W, 9)  [unit ray, d/dx, d/dy]
+    pts3d_norm:         (B, N, 3)     unit target rays
+    p_init:             (B, N, 2)     initial (u, v) guesses
+    gate: "none" = all pixels run all max_iter iterations (reference-exact,
+    matching_kernels.cu:152 has no early break); "converged" = after
+    ``pre_iters`` lock-step iterations, only a compacted subset of
+    ``budget_frac * N`` pixels (unconverged-first order) runs the remaining
+    iterations.  Pixels inside the budget iterate exactly as the reference;
+    pixels left outside are all already-converged (whenever the budget covers
+    the unconverged set) and stop where their convergence flag was set — the
+    CUDA loop could still drift those by sub-pixel amounts.
+    p_init_alt: optional second (B, N, 2) initialisation — the per-pixel
+    lower-cost of the two inits seeds the LM (one extra gather).
+    Returns (p_new (B, N, 2) float32, converged (B, N) bool).
+    """
+    B, H, W, _ = rays_with_grad_img.shape
+    N = pts3d_norm.shape[1]
+    rays_with_grad_img = rays_with_grad_img.astype(jnp.float32)
+    pts3d_norm = pts3d_norm.astype(jnp.float32)
+    p_init = p_init.astype(jnp.float32)
+    table = _pack_bilinear_table(rays_with_grad_img)  # (B, HW, 36)
+
+    u = jnp.clip(p_init[..., 0], 1.0, W - 2.0)
+    v = jnp.clip(p_init[..., 1], 1.0, H - 2.0)
+    lam = jnp.full(u.shape, lambda_init, dtype=u.dtype)
+    conv = jnp.zeros(u.shape, dtype=bool)
+
+    err, cost, gx, gy = _ray_err(_sample_packed(table, W, u, v), pts3d_norm)
+
+    if p_init_alt is not None:
+        u2 = jnp.clip(p_init_alt[..., 0].astype(jnp.float32), 1.0, W - 2.0)
+        v2 = jnp.clip(p_init_alt[..., 1].astype(jnp.float32), 1.0, H - 2.0)
+        err2, cost2, gx2, gy2 = _ray_err(
+            _sample_packed(table, W, u2, v2), pts3d_norm
+        )
+        better = cost2 < cost
+        b1 = better[..., None]
+        u = jnp.where(better, u2, u)
+        v = jnp.where(better, v2, v)
+        err = jnp.where(b1, err2, err)
+        cost = jnp.where(better, cost2, cost)
+        gx = jnp.where(b1, gx2, gx)
+        gy = jnp.where(b1, gy2, gy)
+
     state = (u, v, lam, conv, err, cost, gx, gy)
-    out = jax.lax.fori_loop(0, max_iter, body, state)
-    u, v, lam, conv = out[0], out[1], out[2], out[3]
+    body = _lm_body(table, W, H, pts3d_norm, cost_thresh)
+
+    if gate == "none" or pre_iters >= max_iter:
+        out = jax.lax.fori_loop(0, max_iter, body, state)
+        u, v, conv = out[0], out[1], out[3]
+        return jnp.stack([u, v], axis=-1), conv
+
+    # --- gated: lock-step warmup, then compact the stragglers -------------
+    state = jax.lax.fori_loop(0, pre_iters, body, state)
+    u, v, lam, conv, err, cost, gx, gy = state
+
+    budget = max(int(N * budget_frac) // 128 * 128, 128)
+    order = jnp.argsort(conv.astype(jnp.int32), axis=-1, stable=True)
+    sel = order[:, :budget]  # (B, budget) unconverged-first
+
+    take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    take3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
+    sub = (
+        take(u), take(v), take(lam), take(conv),
+        take3(err), take(cost), take3(gx), take3(gy),
+    )
+    tgt_sub = take3(pts3d_norm)
+    body_sub = _lm_body(table, W, H, tgt_sub, cost_thresh)
+    sub = jax.lax.fori_loop(0, max_iter - pre_iters, body_sub, sub)
+
+    scat = lambda a, val: jax.vmap(lambda x, s, y: x.at[s].set(y))(a, sel, val)
+    u = scat(u, sub[0])
+    v = scat(v, sub[1])
+    conv = scat(conv, sub[3])
     return jnp.stack([u, v], axis=-1), conv
 
 
@@ -309,18 +423,34 @@ def match(
     radius: int = 3,
     dilation_max: int = 5,
     refine_gate: str = "none",
+    proj_gate: str = "none",
+    proj_init: str = "warm",
+    proj_pre_iters: int = 2,
+    proj_budget_frac: float = 0.125,
 ):
     """Dense 1->2 association (reference matching.py:8-90).
 
     X11, X21: (B, H, W, 3); D11, D21: (B, H, W, F).
     refine_gate: "none" = reference-exact full pyramid on every pixel;
     "converged" = coarse levels only on unconverged pixels (speed mode).
+    proj_gate: "none" = every pixel runs all LM iterations (reference-exact);
+    "converged" = straggler compaction after proj_pre_iters (speed mode).
+    proj_init: "warm" = previous-frame index (reference); "pinhole" = project
+    targets through a pinhole fitted to the ray image; "best" = per-pixel
+    lower-cost of the two.
     Returns (idx_1_to_2 (B, N) int32, valid (B, N, 1) bool).
     """
     B, H, W, _ = X11.shape
     rays_with_grad, pts3d_norm, p_init = prep_for_iter_proj(
         X11, X21, idx_1_to_2_init
     )
+    p_alt = None
+    if proj_init in ("pinhole", "best"):
+        p_pin = pinhole_init(rays_with_grad, pts3d_norm)
+        if proj_init == "pinhole" or idx_1_to_2_init is None:
+            p_init = p_pin
+        else:
+            p_alt = p_pin
     p1, valid_proj = iter_proj(
         rays_with_grad,
         pts3d_norm,
@@ -328,6 +458,10 @@ def match(
         max_iter=max_iter,
         lambda_init=lambda_init,
         cost_thresh=convergence_thresh,
+        gate=proj_gate,
+        pre_iters=proj_pre_iters,
+        budget_frac=proj_budget_frac,
+        p_init_alt=p_alt,
     )
     p1 = p1.astype(jnp.int32)
 

@@ -36,6 +36,10 @@ class TrackerSettings(NamedTuple):
     radius: int = 3
     dilation_max: int = 5
     refine_gate: str = "none"
+    proj_gate: str = "none"
+    proj_init: str = "warm"
+    proj_pre_iters: int = 2
+    proj_budget_frac: float = 0.125
     # tracking (config/base.yaml `tracking:`)
     min_match_frac: float = 0.05
     C_conf: float = 0.0
@@ -57,6 +61,10 @@ class TrackerSettings(NamedTuple):
             radius=m["radius"],
             dilation_max=m["dilation_max"],
             refine_gate=m.get("refine_gate", "none"),
+            proj_gate=m.get("proj_gate", "none"),
+            proj_init=m.get("proj_init", "warm"),
+            proj_pre_iters=m.get("proj_pre_iters", 2),
+            proj_budget_frac=m.get("proj_budget_frac", 0.125),
             min_match_frac=t["min_match_frac"],
             C_conf=t["C_conf"],
             Q_conf=t["Q_conf"],
@@ -109,6 +117,10 @@ def _track_compute(
         radius=ts.radius,
         dilation_max=ts.dilation_max,
         refine_gate=ts.refine_gate,
+        proj_gate=ts.proj_gate,
+        proj_init=ts.proj_init,
+        proj_pre_iters=ts.proj_pre_iters,
+        proj_budget_frac=ts.proj_budget_frac,
     )
     idx_f2k = idx_f2k[0]  # (N,)
     valid_match = valid_match[0]  # (N, 1)

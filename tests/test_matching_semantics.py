@@ -160,3 +160,65 @@ def test_refine_matches_cuda_semantics(rng):
             n_agree += 1
     # ties under quantisation may break differently; demand near-total match
     assert n_agree >= n - 2, (n_agree, n)
+
+
+def test_pinhole_fit_recovers_intrinsics():
+    """fit_pinhole_from_rays is exact on a true pinhole ray image, and
+    pinhole_init lands within a pixel of the projection."""
+    H, W = 40, 56
+    fx, fy, cx, cy = 50.0, 48.0, 27.0, 19.5
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+    d = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+    rays = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    efx, efy, ecx, ecy = matching.fit_pinhole_from_rays(jnp.asarray(rays)[None])
+    assert abs(float(efx[0]) - fx) < 1e-2 and abs(float(efy[0]) - fy) < 1e-2
+    assert abs(float(ecx[0]) - cx) < 1e-2 and abs(float(ecy[0]) - cy) < 1e-2
+
+    tgt = rays.reshape(1, -1, 3)
+    p = np.asarray(matching.pinhole_init(jnp.asarray(rays)[None], jnp.asarray(tgt)))[0]
+    expect = np.stack([u.ravel(), v.ravel()], -1)
+    assert np.abs(p - expect).max() < 0.05
+
+
+def test_iter_proj_gated_matches_exact(rng):
+    """proj_gate=converged must agree with the reference-exact path to the
+    integer pixel the caller rounds to (freeze-after-convergence bound)."""
+    H, W = 24, 32
+    X = rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.2 + [0, 0, 2.0]
+    from scipy.ndimage import gaussian_filter
+
+    X = gaussian_filter(X, sigma=(0, 2, 2, 0))
+    rays, tgt, p0 = matching.prep_for_iter_proj(jnp.asarray(X), jnp.asarray(X), None)
+    # perturb inits by a few pixels
+    p0 = p0 + jnp.asarray(rng.uniform(-3, 3, p0.shape), dtype=jnp.float32)
+
+    p_ref, c_ref = matching.iter_proj(rays, tgt, p0, max_iter=10)
+
+    # full budget: every pixel runs all its iterations; the only delta vs
+    # reference is freeze-after-convergence, bounded below integer rounding
+    p_gate, c_gate = matching.iter_proj(
+        rays, tgt, p0, max_iter=10, gate="converged", pre_iters=2,
+        budget_frac=1.0,
+    )
+    pi_ref = np.asarray(jnp.round(p_ref)).astype(int)
+    pi_gate = np.asarray(jnp.round(p_gate)).astype(int)
+    agree = (pi_ref == pi_gate).all(-1).mean()
+    assert agree > 0.98, agree
+
+    # realistic warm start (sub-pixel init error): the default 1/8 budget
+    # must hold because almost everything converges in the pre-iterations
+    p0w = matching.prep_for_iter_proj(jnp.asarray(X), jnp.asarray(X), None)[2]
+    p0w = p0w + jnp.asarray(rng.uniform(-0.5, 0.5, p0w.shape), dtype=jnp.float32)
+    p_ref_w, _ = matching.iter_proj(rays, tgt, p0w, max_iter=10)
+    p_gate_w, _ = matching.iter_proj(
+        rays, tgt, p0w, max_iter=10, gate="converged", pre_iters=2,
+        budget_frac=0.125,
+    )
+    agree_w = (
+        np.asarray(jnp.round(p_ref_w)).astype(int)
+        == np.asarray(jnp.round(p_gate_w)).astype(int)
+    ).all(-1).mean()
+    # out-of-budget pixels are converged ones frozen at their flag point; the
+    # reference can drift those sub-pixel, occasionally flipping the integer
+    # rounding (the downstream +-15px descriptor search absorbs 1px seeds)
+    assert agree_w > 0.95, agree_w

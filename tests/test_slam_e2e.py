@@ -89,18 +89,21 @@ def test_backend_improves_noisy_poses(slam_result):
     kf.T_WC = kf.T_WC.at[:n].set(jnp.asarray(clean))
 
 
-def test_gated_refine_speed_mode_tracks():
-    """The `refine_gate: converged` speed mode must still track the scene."""
+def test_speed_profile_tracks():
+    """The full `speed` profile (gated refine + gated/pinhole-seeded LM)
+    must track the scene as well as the reference-exact profile."""
     from oracle import OracleDataset as _ODS
 
     scene = PlaneScene(HW)
     gt = arc_trajectory(N_FRAMES, radius=0.6, max_angle=2.5)
     model = OracleModel(scene, gt, noise=0.002)
-    cfg = load_config("base")
+    cfg = load_config("speed")
     cfg["engine"]["keyframe_buffer"] = 64
     cfg["engine"]["edge_buffer"] = 64
     cfg["single_thread"] = True  # deterministic eval-protocol mode
-    cfg["matching"]["refine_gate"] = "converged"
+    assert cfg["matching"]["refine_gate"] == "converged"
+    assert cfg["matching"]["proj_gate"] == "converged"
+    assert cfg["matching"]["proj_init"] == "best"
     slam = SLAM(model, cfg, HW)
     result = slam.run(_ODS(N_FRAMES, HW), verbose=False)
     assert result.n_reloc == 0
