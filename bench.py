@@ -61,7 +61,9 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     params = M.init_params(jax.random.key(0), cfg)
-    ts = TrackerSettings.from_config(load_config("base"))
+    # production speed profile (configs/speed.yaml): gated matcher paths,
+    # trajectory-equivalence asserted by tests/test_slam_e2e.py
+    ts = TrackerSettings.from_config(load_config("speed"))
 
     key = jax.random.key(1)
     img = jax.random.normal(key, (1, 3, H, W), jnp.float32) * 0.5

@@ -60,6 +60,7 @@ class ModelConfig:
     head_dtype: Any = jnp.float32  # DPT/MLP head dtype (reference pins f32,
                                    # mast3r_utils.py:36-39; bf16 is a perf
                                    # knob pending real-ATE validation)
+    scan_unroll: int = 1           # lax.scan unroll factor for block stacks
 
     @property
     def head_dim_enc(self):
@@ -180,7 +181,7 @@ def encode_image(params, cfg: ModelConfig, img):
     def step(h, bp):
         return encoder_block(bp, h, rope_cs, cfg.enc_num_heads), None
 
-    x, _ = jax.lax.scan(step, x, params["enc_blocks"])
+    x, _ = jax.lax.scan(step, x, params["enc_blocks"], unroll=cfg.scan_unroll)
     x = layer_norm(params["enc_norm"], x)
     return x.astype(jnp.float32), pos
 
@@ -209,7 +210,9 @@ def decode(params, cfg: ModelConfig, feat1, pos1, feat2, pos2):
         nf2 = decoder_block(bp["b2"], f2, f1, rope2, rope1, cfg.dec_num_heads)
         return (nf1, nf2), (nf1, nf2)
 
-    (_, _), (ys1, ys2) = jax.lax.scan(step, (f1, f2), blocks)
+    (_, _), (ys1, ys2) = jax.lax.scan(
+        step, (f1, f2), blocks, unroll=cfg.scan_unroll
+    )
 
     # hooks [0, 6, 9, 12] over [enc, blk1..blk12]; only the last is dec-normed
     h6_1, h9_1 = ys1[5].astype(jnp.float32), ys1[8].astype(jnp.float32)

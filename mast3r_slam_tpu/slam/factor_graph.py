@@ -146,6 +146,7 @@ class FactorGraph:
             radius=m["radius"],
             dilation_max=m["dilation_max"],
             refine_gate=m.get("refine_gate", "none"),
+            refine_budget_frac=m.get("refine_budget_frac", 0.125),
             proj_gate=m.get("proj_gate", "none"),
             proj_init=m.get("proj_init", "warm"),
             proj_pre_iters=m.get("proj_pre_iters", 2),

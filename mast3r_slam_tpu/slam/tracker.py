@@ -36,6 +36,7 @@ class TrackerSettings(NamedTuple):
     radius: int = 3
     dilation_max: int = 5
     refine_gate: str = "none"
+    refine_budget_frac: float = 0.125
     proj_gate: str = "none"
     proj_init: str = "warm"
     proj_pre_iters: int = 2
@@ -61,6 +62,7 @@ class TrackerSettings(NamedTuple):
             radius=m["radius"],
             dilation_max=m["dilation_max"],
             refine_gate=m.get("refine_gate", "none"),
+            refine_budget_frac=m.get("refine_budget_frac", 0.125),
             proj_gate=m.get("proj_gate", "none"),
             proj_init=m.get("proj_init", "warm"),
             proj_pre_iters=m.get("proj_pre_iters", 2),
@@ -117,6 +119,7 @@ def _track_compute(
         radius=ts.radius,
         dilation_max=ts.dilation_max,
         refine_gate=ts.refine_gate,
+        refine_budget_frac=ts.refine_budget_frac,
         proj_gate=ts.proj_gate,
         proj_init=ts.proj_init,
         proj_pre_iters=ts.proj_pre_iters,

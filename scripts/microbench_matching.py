@@ -97,7 +97,11 @@ def main(stages):
 
     if not stages or "match" in stages:
         fn = jax.jit(lambda a, b, c, d: matching.match(a, b, c, d)[0])
-        print(f"match() end-to-end:   {timeit(fn, X11, X21, D11, D21)*1e3:8.2f} ms")
+        print(f"match() exact:        {timeit(fn, X11, X21, D11, D21)*1e3:8.2f} ms")
+        fn = jax.jit(lambda a, b, c, d: matching.match(
+            a, b, c, d, proj_gate="converged", proj_init="best",
+            refine_gate="converged")[0])
+        print(f"match() speed:        {timeit(fn, X11, X21, D11, D21)*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
