@@ -74,7 +74,9 @@ class ModelConfig:
         return (img_hw[0] // self.patch_size, img_hw[1] // self.patch_size)
 
 
-VIT_LARGE = ModelConfig()
+# scan_unroll=12 divides both depths; unrolled block stacks let XLA pipeline
+# weight prefetch with compute (measured: encoder -23%, decoder -14% on v5e)
+VIT_LARGE = ModelConfig(scan_unroll=12)
 # Tiny trunk for tests; DPT dims stay at reference defaults because the
 # reference head is not scaled with trunk size (catmlp_dpt_head.py:104-113).
 VIT_TINY_TEST = ModelConfig(

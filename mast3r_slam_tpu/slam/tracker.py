@@ -135,8 +135,6 @@ def _track_compute(
     Cji_f = Cji.reshape(N, 1)
     Qji_f = Qji.reshape(N, 1)
 
-    Qk = jnp.sqrt(Qii_f[idx_f2k] * Qji_f)
-
     # 2. fuse the new canonical observation into the frame pointmap
     first = frame_n_fused == 0
     fX, fC, fn, _ = fuse_pointmap(
@@ -156,8 +154,11 @@ def _track_compute(
         Xf_all = constrain_points_to_ray(img_hw, Xf_all, K)
         Xk_all = constrain_points_to_ray(img_hw, Xk_all, K)
 
-    Xf = Xf_all[idx_f2k]
-    Cf = Cf_avg[idx_f2k]
+    # one wide-row gather instead of three (rows are billed per row on TPU)
+    gathered = jnp.concatenate([Xf_all, Cf_avg, Qii_f], axis=-1)[idx_f2k]
+    Xf = gathered[:, 0:3]
+    Cf = gathered[:, 3:4]
+    Qk = jnp.sqrt(gathered[:, 4:5] * Qji_f)
 
     valid_Cf = Cf > ts.C_conf
     valid_Ck = Ck_avg > ts.C_conf
