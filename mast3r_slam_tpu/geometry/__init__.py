@@ -8,4 +8,5 @@ from .projective import (  # noqa: F401
     point_to_ray_dist,
     project_calib,
     skew,
+    tau_jacobian,
 )

@@ -26,6 +26,23 @@ def point_to_dist(X):
     return jnp.linalg.norm(X, axis=-1, keepdims=True)
 
 
+def tau_jacobian(dres_dY, Y):
+    """Chain a residual Jacobian through the Sim(3) action: d(res)/d(tau).
+
+    For a left perturbation exp(tau)·T acting on points, dY/dtau has the
+    structured form [I | -skew(Y) | Y] at Y = T·X, so the chain rule
+    J = dres_dY @ dY/dtau expands row-wise to [a | Y x a | a·Y] — three fused
+    VPU ops instead of a per-pixel (R,3)x(3,7) matmul (batched tiny matmuls
+    lower very poorly on TPU; measured ~2 ms/GN-iteration at 384x512).
+
+    dres_dY: (..., R, 3); Y: (..., 3).  Returns (..., R, 7).
+    """
+    Yb = Y[..., None, :]
+    rot = jnp.cross(Yb, dres_dY)
+    scale = jnp.sum(dres_dY * Yb, axis=-1, keepdims=True)
+    return jnp.concatenate([dres_dY, rot, scale], axis=-1)
+
+
 def point_to_ray_dist(X, jacobian: bool = False):
     """(..., 3) -> (..., 4) [unit ray, distance]; optionally d(rd)/dX (..., 4, 3).
 

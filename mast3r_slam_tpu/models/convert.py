@@ -170,7 +170,9 @@ def torch_state_dict_to_params(
             },
         }
 
-    return {
+    from .mast3r import cast_trunk_params
+
+    return cast_trunk_params({
         "patch_embed": patch,
         "enc_blocks": _stack(
             [_enc_block(sd, f"enc_blocks.{i}") for i in range(cfg.enc_depth)]
@@ -186,7 +188,7 @@ def torch_state_dict_to_params(
         "dec_norm": _norm(sd, "dec_norm"),
         "head1": head(1),
         "head2": head(2),
-    }
+    }, cfg)
 
 
 def load_torch_checkpoint(path: str, cfg: ModelConfig = VIT_LARGE):

@@ -90,6 +90,37 @@ VIT_TINY_TEST = ModelConfig(
 # init
 # ---------------------------------------------------------------------------
 
+def cast_trunk_params(params, cfg: ModelConfig) -> Dict[str, Any]:
+    """Store trunk matmul weights in the trunk compute dtype.
+
+    ``linear`` computes in ``x.dtype`` (bf16 in the trunk), so the f32 master
+    weights were being re-read from HBM and cast on every block — ~2 GB of
+    weight traffic per tracked frame at ViT-L.  Storing them pre-cast halves
+    that traffic with bitwise-identical results (same f32->bf16 rounding,
+    applied once instead of per use).  Layer-norm parameters and biases stay
+    f32 (`layer_norm` computes in f32; bias adds are epilogue-fused).
+    Heads are untouched (reference pins f32 heads, mast3r_utils.py:36-39).
+    """
+    if cfg.dtype == jnp.float32:
+        return params
+
+    def cast_tree(tree):
+        def go(path, leaf):
+            keys = [p.key for p in path if hasattr(p, "key")]
+            if keys and keys[-1] == "w" and not any(
+                k.startswith("norm") for k in keys
+            ):
+                return leaf.astype(cfg.dtype)
+            return leaf
+
+        return jax.tree_util.tree_map_with_path(go, tree)
+
+    out = dict(params)
+    for k in ("patch_embed", "enc_blocks", "decoder_embed", "dec_blocks", "dec_blocks2"):
+        out[k] = cast_tree(params[k])
+    return out
+
+
 def init_params(key, cfg: ModelConfig = VIT_LARGE) -> Dict[str, Any]:
     ks = jax.random.split(key, 12)
     P = cfg.patch_size
@@ -113,7 +144,7 @@ def init_params(key, cfg: ModelConfig = VIT_LARGE) -> Dict[str, Any]:
             },
         }
 
-    return {
+    return cast_trunk_params({
         "patch_embed": {
             "w": jax.random.normal(ks[0], (P * P * 3, cfg.enc_embed_dim)) * 0.02,
             "b": jnp.zeros((cfg.enc_embed_dim,), dtype=jnp.float32),
@@ -141,7 +172,7 @@ def init_params(key, cfg: ModelConfig = VIT_LARGE) -> Dict[str, Any]:
         "dec_norm": init_layer_norm(cfg.dec_embed_dim),
         "head1": head(ks[5]),
         "head2": head(ks[6]),
-    }
+    }, cfg)
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,26 @@ def _calib_residuals(Tij, Xi, Xj, K, img_hw, border, z_eps):
 # edge Hessian/gradient
 # ---------------------------------------------------------------------------
 
+def _edge_Hg(Ti, w, err, J_local):
+    """(H_e (7,7), g_e (7,)) in the world tangent from local-frame rows.
+
+    The adjoint-inverse map (gn_kernels.cu:278-299) is linear in the row, so
+    instead of transforming every pixel's (R,7) Jacobian rows (N·R adjoint
+    applications per edge), reduce in the LOCAL frame first — one augmented
+    einsum [J|err]ᵀW[J|err] gives H_l and g_l in a single pass — and
+    conjugate the 7x7 result once per edge: H_e = M H_l Mᵀ, g_e = M g_l.
+    """
+    Jb = jnp.concatenate([J_local, err[..., None]], axis=-1)  # (N, R, 8)
+    Mloc = jnp.einsum(
+        "nr,nri,nrj->ij", w, Jb, Jb, preferred_element_type=jnp.float32
+    )
+    H_l = Mloc[:7, :7]
+    g_l = Mloc[:7, 7]
+    HMt = sim3.apply_adj_inv(Ti, H_l)    # rows -> H_l Mᵀ
+    H_e = sim3.apply_adj_inv(Ti, HMt.T)  # -> M H_l Mᵀ
+    g_e = sim3.apply_adj_inv(Ti, g_l)
+    return H_e, g_e
+
 def precompute_edge_data(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
                          settings, mode: str, img_hw):
     """Gather per-edge correspondences ONCE before the GN iterations.
@@ -194,11 +214,7 @@ def _edge_block_rays(Twc, settings, edge):
         axis=-1,
     )  # (N, 4)
     w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
-
-    Jj = sim3.apply_adj_inv(Ti, J_local)  # broadcast (N, 4, 7)
-    H_e = jnp.einsum("nr,nri,nrj->ij", w, Jj, Jj, preferred_element_type=jnp.float32)
-    g_e = jnp.einsum("nr,nr,nri->i", w, err, Jj, preferred_element_type=jnp.float32)
-    return H_e, g_e
+    return _edge_Hg(Ti, w, err, J_local)
 
 
 def _edge_block_points(Twc, settings, edge):
@@ -225,11 +241,7 @@ def _edge_block_points(Twc, settings, edge):
     sq = sq_in / settings.sigma_point
     sqrt_w = jnp.stack([sq, sq, sq], axis=-1)
     w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
-
-    Jj = sim3.apply_adj_inv(Ti, J_local)
-    H_e = jnp.einsum("nr,nri,nrj->ij", w, Jj, Jj, preferred_element_type=jnp.float32)
-    g_e = jnp.einsum("nr,nr,nri->i", w, err, Jj, preferred_element_type=jnp.float32)
-    return H_e, g_e
+    return _edge_Hg(Ti, w, err, J_local)
 
 
 def _edge_block_calib(Twc, K, img_hw, settings, edge):
@@ -265,11 +277,7 @@ def _edge_block_calib(Twc, K, img_hw, settings, edge):
         axis=-1,
     )
     w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
-
-    Jj = sim3.apply_adj_inv(Ti, J_local)
-    H_e = jnp.einsum("nr,nri,nrj->ij", w, Jj, Jj, preferred_element_type=jnp.float32)
-    g_e = jnp.einsum("nr,nr,nri->i", w, err, Jj, preferred_element_type=jnp.float32)
-    return H_e, g_e
+    return _edge_Hg(Ti, w, err, J_local)
 
 
 # ---------------------------------------------------------------------------

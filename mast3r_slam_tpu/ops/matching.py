@@ -403,6 +403,55 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
     return rays_with_grad, pts3d_norm, p_init
 
 
+def _refine_coarse_subset(Dpad, D21q, u0, v0, H, W, max_rd, radius, dilations):
+    """Coarse pyramid levels on a pixel subset via horizontal-strip tables.
+
+    Per level d, a (Hp*W, diam*F) int8 table packs just the HORIZONTAL
+    dilated window of the padded image; a pixel's full diam x diam window is
+    then ``diam`` rows of it (one per dy), fetched with ONE take_along_axis
+    of (B, Nsel*diam) indices.  The table costs diam*F bytes per image pixel
+    to build instead of diam^2*F — the full-window table (49F ≈ 230 MB at
+    384x512) was the dominant cost of the gated path, built per level just
+    to gather ~12% of its rows.
+    """
+    B, _, _, F = Dpad.shape
+    diam = 2 * radius + 1
+    ncand = diam * diam
+    Hp = H + 2 * max_rd
+    doff = jnp.arange(diam, dtype=jnp.int32) - radius
+
+    for d in dilations:
+        strips = [
+            Dpad[:, :, max_rd + dx * d : max_rd + dx * d + W]
+            for dx in range(-radius, radius + 1)
+        ]  # each (B, Hp, W, F)
+        table = jnp.concatenate(strips, axis=-1).reshape(B, Hp * W, diam * F)
+
+        vp = v0[..., None] + doff[None, None, :] * d + max_rd  # (B, Nsel, diam)
+        idx = vp * W + u0[..., None]
+        rows = jnp.take_along_axis(table, idx.reshape(B, -1)[..., None], axis=1)
+        cand = rows.reshape(B, -1, ncand, F)  # dy-major, matching k decode
+        scores = jnp.einsum(
+            "bnkf,bnf->bnk",
+            cand.astype(jnp.bfloat16),
+            D21q.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+        uu = u0[..., None] + doff[None, None, :] * d
+        vv = v0[..., None] + doff[None, None, :] * d
+        inside = (
+            ((vv >= 0) & (vv < H))[..., :, None]
+            & ((uu >= 0) & (uu < W))[..., None, :]
+        ).reshape(B, -1, ncand)
+        scores = jnp.where(inside, scores, -jnp.inf)
+
+        k = jnp.argmax(scores, axis=-1)
+        u0 = u0 + (k % diam - radius) * d
+        v0 = v0 + (k // diam - radius) * d
+    return u0, v0
+
+
 @partial(jax.jit, static_argnames=("radius", "dilation_max", "budget_frac"))
 def refine_matches_gated(D11, D21, p1, converged, radius: int = 3,
                          dilation_max: int = 5, budget_frac: float = 0.25):
@@ -411,10 +460,9 @@ def refine_matches_gated(D11, D21, p1, converged, radius: int = 3,
     Ray-converged pixels almost never move more than the finest window under
     descriptor refinement, so the coarse pyramid levels (d = dilation_max..2)
     run only on a compacted subset of UNCONVERGED pixels (budget_frac of N,
-    static shape), and the finest level (d=1) runs on every pixel.  With a
-    warm-started tracker >90% of pixels converge, cutting the gathered rows
-    ~3-4x.  Unconverged pixels beyond the budget degrade gracefully to
-    finest-level-only refinement.
+    static shape) through cheap strip tables, and the finest level (d=1)
+    runs on every pixel through the wide-row table.  Unconverged pixels
+    beyond the budget degrade gracefully to finest-level-only refinement.
     """
     B, H, W, F = D11.shape
     N = H * W
@@ -422,15 +470,21 @@ def refine_matches_gated(D11, D21, p1, converged, radius: int = 3,
 
     sel = _compact_unconverged(converged, budget)
 
-    p_sel = jnp.take_along_axis(p1, sel[..., None], axis=1)
+    p_sel = jnp.take_along_axis(p1.astype(jnp.int32), sel[..., None], axis=1)
     D21_sel = jnp.take_along_axis(D21, sel[..., None], axis=1)
-    p_coarse = refine_matches(
-        D11, D21_sel, p_sel, radius=radius, dilation_max=dilation_max
+
+    D11q = jnp.clip(jnp.round(D11 * 127.0), -127, 127).astype(jnp.int8)
+    D21q_sel = jnp.clip(jnp.round(D21_sel * 127.0), -127, 127).astype(jnp.int8)
+    max_rd = radius * dilation_max
+    Dpad = jnp.pad(D11q, ((0, 0), (max_rd, max_rd), (max_rd, max_rd), (0, 0)))
+    u0, v0 = _refine_coarse_subset(
+        Dpad, D21q_sel, p_sel[..., 0], p_sel[..., 1], H, W, max_rd,
+        radius, list(range(dilation_max, 1, -1)),
     )
-    # continue the pyramid from the coarse result, but run only the finest
-    # level for everyone: scatter coarse results back first
     p_all = p1.astype(jnp.int32)
-    p_all = jax.vmap(lambda pa, s, pc: pa.at[s].set(pc))(p_all, sel, p_coarse)
+    p_all = jax.vmap(lambda pa, s, pc: pa.at[s].set(pc))(
+        p_all, sel, jnp.stack([u0, v0], axis=-1)
+    )
     return refine_matches(D11, D21, p_all, radius=radius, dilation_max=1)
 
 

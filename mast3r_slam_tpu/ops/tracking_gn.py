@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry import act_sim3, point_to_ray_dist, project_calib
+from ..geometry import act_sim3, point_to_ray_dist, project_calib, tau_jacobian
 from ..lie import sim3
 from .robust import huber_weight
 
@@ -42,15 +42,17 @@ def _solve_normal_eqs(sqrt_info, r, J, huber_k):
     """Whiten, robust-reweight, assemble H/g, solve 7-dof step.
 
     sqrt_info, r: (N, R); J: (N, R, 7).  Mirrors tracker.py:156-171.
+    H, g and the cost all come out of ONE augmented-Jacobian reduction
+    [A | b]ᵀ[A | b] — a single pass over the residual data instead of three.
     Returns (tau (7,), cost, ok).
     """
     whitened = sqrt_info * r
     robust = sqrt_info * jnp.sqrt(huber_weight(whitened, huber_k))
-    A = robust[..., None] * J  # (N, R, 7)
-    b = robust * r  # (N, R)
-    H = jnp.einsum("nri,nrj->ij", A, A, preferred_element_type=jnp.float32)
-    g = -jnp.einsum("nri,nr->i", A, b, preferred_element_type=jnp.float32)
-    cost = (0.5 * jnp.sum(b * b)).astype(jnp.float32)
+    Ab = robust[..., None] * jnp.concatenate([J, r[..., None]], axis=-1)
+    M = jnp.einsum("nri,nrj->ij", Ab, Ab, preferred_element_type=jnp.float32)
+    H = M[:7, :7]
+    g = -M[:7, 7]
+    cost = (0.5 * M[7, 7]).astype(jnp.float32)
 
     L, lower = jax.scipy.linalg.cho_factor(H, lower=True)
     tau = jax.scipy.linalg.cho_solve((L, lower), g)
@@ -106,10 +108,10 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_CkCf_init, Qk, valid, settings: GNSettings)
     rd_k = point_to_ray_dist(Xk)
 
     def residual_fn(T):
-        Xf_Ck, dX_dT = act_sim3(T, Xf, jacobian=True)
-        rd_f, drd_dX = point_to_ray_dist(Xf_Ck, jacobian=True)
+        Y = act_sim3(T, Xf)
+        rd_f, drd_dX = point_to_ray_dist(Y, jacobian=True)
         r = rd_k - rd_f
-        J = -jnp.einsum("nij,njk->nik", drd_dX, dX_dT)
+        J = -tau_jacobian(drd_dX, Y)
         return sqrt_info, r, J
 
     return _gn_loop(residual_fn, T_CkCf_init, settings)
@@ -132,9 +134,9 @@ def opt_pose_calib_sim3(
     )  # (N, 3)
 
     def residual_fn(T):
-        Xf_Ck, dX_dT = act_sim3(T, Xf, jacobian=True)
+        Y = act_sim3(T, Xf)
         pz, dpz_dX, valid_proj = project_calib(
-            Xf_Ck,
+            Y,
             K,
             img_size,
             jacobian=True,
@@ -143,7 +145,7 @@ def opt_pose_calib_sim3(
         )
         info = (valid_proj & valid_meas_k) * sqrt_info
         r = meas_k - pz
-        J = -jnp.einsum("nij,njk->nik", dpz_dX, dX_dT)
+        J = -tau_jacobian(dpz_dX, Y)
         return info, r, J
 
     return _gn_loop(residual_fn, T_CkCf_init, settings)

@@ -56,3 +56,16 @@ for unroll in (1, 4, 12):
 cfg = replace(base, scan_unroll=4, head_dtype=jnp.bfloat16)
 dec = jax.jit(lambda p, f, po: M.inference_asymmetric(p, cfg, f, po, kf_feat, kf_pos, grid))
 print(f"dec+heads bf16 heads: {timeit(dec, params, feat, pos)*1e3:8.2f} ms", flush=True)
+
+# split: decoder trunk alone / DPT / local MLP
+dec_only = jax.jit(lambda p, f, po: M.decode(p, base, f, po, kf_feat, kf_pos))
+hooks1, hooks2 = jax.block_until_ready(dec_only(params, feat, pos))
+print(f"decode trunk only:    {timeit(dec_only, params, feat, pos)*1e3:8.2f} ms", flush=True)
+
+from mast3r_slam_tpu.models import dpt as dpt_mod
+dpt_fn = jax.jit(lambda hp, h: dpt_mod.dpt_forward(hp, list(h), grid, 4))
+print(f"DPT head x1:          {timeit(dpt_fn, params['head1']['dpt'], hooks1)*1e3:8.2f} ms", flush=True)
+
+from mast3r_slam_tpu.models.layers import mlp as _mlp
+mlp_fn = jax.jit(lambda hp, h: _mlp(hp, jnp.concatenate([h[0], h[3]], axis=-1)))
+print(f"local MLP x1:         {timeit(mlp_fn, params['head1']['local_mlp'], hooks1)*1e3:8.2f} ms", flush=True)

@@ -52,6 +52,18 @@ def test_act_sim3_jacobian(rng):
     np.testing.assert_allclose(np.asarray(J), J_fd, atol=1e-3, rtol=1e-3)
 
 
+def test_tau_jacobian_matches_dense_chain(rng):
+    """tau_jacobian's structured expansion == dres_dY @ [I | -skew(Y) | Y]."""
+    from mast3r_slam_tpu.geometry import tau_jacobian
+
+    Y = jnp.asarray(rng.normal(size=(6, 3)).astype(np.float32) + np.array([0, 0, 3.0], dtype=np.float32))
+    dres = jnp.asarray(rng.normal(size=(6, 4, 3)).astype(np.float32))
+    _, dY_dtau = act_sim3(sim3.identity(), Y, jacobian=True)
+    J_dense = jnp.einsum("nij,njk->nik", dres, dY_dtau)
+    J_fast = tau_jacobian(dres, Y)
+    np.testing.assert_allclose(np.asarray(J_fast), np.asarray(J_dense), atol=1e-5, rtol=1e-5)
+
+
 def test_project_calib_jacobian(rng):
     K = jnp.asarray([[400.0, 0, 320], [0, 400, 240], [0, 0, 1]], dtype=jnp.float32)
     P = rng.normal(size=(7, 3)) * 0.5 + np.array([0, 0, 2.0])

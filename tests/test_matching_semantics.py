@@ -162,6 +162,32 @@ def test_refine_matches_cuda_semantics(rng):
     assert n_agree >= n - 2, (n_agree, n)
 
 
+def test_refine_gated_full_budget_equals_full_pyramid(rng):
+    """With every pixel unconverged and a budget covering N, the gated path
+    (strip-table coarse levels + wide-row finest) runs the exact same
+    candidate sequence as the reference-exact full pyramid."""
+    H, W, F = 16, 24, 8
+    N = H * W
+    D11 = rng.normal(size=(1, H, W, F)).astype(np.float32)
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
+    D21 = rng.normal(size=(1, N, F)).astype(np.float32)
+    D21 /= np.linalg.norm(D21, axis=-1, keepdims=True)
+    p1 = np.stack(
+        [rng.integers(0, W, N), rng.integers(0, H, N)], -1
+    ).astype(np.int32)[None]
+
+    full = matching.refine_matches(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p1),
+        radius=2, dilation_max=3,
+    )
+    gated = matching.refine_matches_gated(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p1),
+        jnp.zeros((1, N), bool),  # all unconverged
+        radius=2, dilation_max=3, budget_frac=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(gated), np.asarray(full))
+
+
 def test_pinhole_fit_recovers_intrinsics():
     """fit_pinhole_from_rays is exact on a true pinhole ray image, and
     pinhole_init lands within a pixel of the projection."""
