@@ -23,6 +23,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import sdpa
+
 LN_EPS = 1e-6  # croco.py:33 norm_layer eps
 
 
@@ -107,15 +109,7 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
 
 
-def _sdpa(q, k, v):
-    """Scaled dot-product attention (B, H, N, D); softmax in f32."""
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhnm,bhmd->bhnd", w, v)
-
-
-def self_attention(p, x, rope_cs, num_heads: int):
+def self_attention(p, x, rope_cs, num_heads: int, attn_impl: str = "xla"):
     """Fused-qkv self-attention with RoPE on q, k (blocks.py:81-112)."""
     B, N, C = x.shape
     qkv = linear(p["qkv"], x).reshape(B, N, 3, num_heads, C // num_heads)
@@ -125,11 +119,12 @@ def self_attention(p, x, rope_cs, num_heads: int):
         cos, sin = rope_cs
         q = apply_rope2d(q, cos, sin)
         k = apply_rope2d(k, cos, sin)
-    out = _merge_heads(_sdpa(q, k, v))
+    out = _merge_heads(sdpa(q, k, v, attn_impl))
     return linear(p["proj"], out)
 
 
-def cross_attention(p, x, mem, rope_q, rope_k, num_heads: int):
+def cross_attention(p, x, mem, rope_q, rope_k, num_heads: int,
+                    attn_impl: str = "xla"):
     """Cross-attention, separate q/k/v projections (blocks.py:132-169)."""
     q = _split_heads(linear(p["q"], x), num_heads)
     k = _split_heads(linear(p["k"], mem), num_heads)
@@ -138,7 +133,7 @@ def cross_attention(p, x, mem, rope_q, rope_k, num_heads: int):
         q = apply_rope2d(q, *rope_q)
     if rope_k is not None:
         k = apply_rope2d(k, *rope_k)
-    out = _merge_heads(_sdpa(q, k, v))
+    out = _merge_heads(sdpa(q, k, v, attn_impl))
     return linear(p["proj"], out)
 
 
@@ -146,18 +141,23 @@ def cross_attention(p, x, mem, rope_q, rope_k, num_heads: int):
 # blocks
 # ---------------------------------------------------------------------------
 
-def encoder_block(p, x, rope_cs, num_heads: int):
-    x = x + self_attention(p["attn"], layer_norm(p["norm1"], x), rope_cs, num_heads)
+def encoder_block(p, x, rope_cs, num_heads: int, attn_impl: str = "xla"):
+    x = x + self_attention(
+        p["attn"], layer_norm(p["norm1"], x), rope_cs, num_heads, attn_impl
+    )
     x = x + mlp(p["mlp"], layer_norm(p["norm2"], x))
     return x
 
 
-def decoder_block(p, x, y, rope_x, rope_y, num_heads: int):
+def decoder_block(p, x, y, rope_x, rope_y, num_heads: int, attn_impl: str = "xla"):
     """Self-attn -> cross-attn over (normed) memory y -> MLP (blocks.py:171-193)."""
-    x = x + self_attention(p["attn"], layer_norm(p["norm1"], x), rope_x, num_heads)
+    x = x + self_attention(
+        p["attn"], layer_norm(p["norm1"], x), rope_x, num_heads, attn_impl
+    )
     y_ = layer_norm(p["norm_y"], y)
     x = x + cross_attention(
-        p["cross_attn"], layer_norm(p["norm2"], x), y_, rope_x, rope_y, num_heads
+        p["cross_attn"], layer_norm(p["norm2"], x), y_, rope_x, rope_y,
+        num_heads, attn_impl,
     )
     x = x + mlp(p["mlp"], layer_norm(p["norm3"], x))
     return x

@@ -61,6 +61,8 @@ class ModelConfig:
                                    # mast3r_utils.py:36-39; bf16 is a perf
                                    # knob pending real-ATE validation)
     scan_unroll: int = 1           # lax.scan unroll factor for block stacks
+    attn_impl: str = "xla"         # "xla" | "fused" (Pallas on-chip softmax;
+                                   # same f32-softmax numerics, no HBM logits)
 
     @property
     def head_dim_enc(self):
@@ -212,7 +214,7 @@ def encode_image(params, cfg: ModelConfig, img):
     rope_cs = rope2d_tables(pos, cfg.head_dim_enc, cfg.rope_base)
 
     def step(h, bp):
-        return encoder_block(bp, h, rope_cs, cfg.enc_num_heads), None
+        return encoder_block(bp, h, rope_cs, cfg.enc_num_heads, cfg.attn_impl), None
 
     x, _ = jax.lax.scan(step, x, params["enc_blocks"], unroll=cfg.scan_unroll)
     x = layer_norm(params["enc_norm"], x)
@@ -239,8 +241,12 @@ def decode(params, cfg: ModelConfig, feat1, pos1, feat2, pos2):
 
     def step(carry, bp):
         f1, f2 = carry
-        nf1 = decoder_block(bp["b1"], f1, f2, rope1, rope2, cfg.dec_num_heads)
-        nf2 = decoder_block(bp["b2"], f2, f1, rope2, rope1, cfg.dec_num_heads)
+        nf1 = decoder_block(
+            bp["b1"], f1, f2, rope1, rope2, cfg.dec_num_heads, cfg.attn_impl
+        )
+        nf2 = decoder_block(
+            bp["b2"], f2, f1, rope2, rope1, cfg.dec_num_heads, cfg.attn_impl
+        )
         return (nf1, nf2), (nf1, nf2)
 
     (_, _), (ys1, ys2) = jax.lax.scan(

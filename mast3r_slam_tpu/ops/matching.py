@@ -452,21 +452,43 @@ def _refine_coarse_subset(Dpad, D21q, u0, v0, H, W, max_rd, radius, dilations):
     return u0, v0
 
 
-@partial(jax.jit, static_argnames=("radius", "dilation_max", "budget_frac"))
+@partial(jax.jit, static_argnames=(
+    "radius", "dilation_max", "budget_frac", "subset_dilations", "final_radius"))
 def refine_matches_gated(D11, D21, p1, converged, radius: int = 3,
-                         dilation_max: int = 5, budget_frac: float = 0.25):
+                         dilation_max: int = 5, budget_frac: float = 0.25,
+                         subset_dilations=None, final_radius: int = None):
     """Convergence-gated coarse-to-fine refinement (speed mode).
 
     Ray-converged pixels almost never move more than the finest window under
     descriptor refinement, so the coarse pyramid levels (d = dilation_max..2)
     run only on a compacted subset of UNCONVERGED pixels (budget_frac of N,
-    static shape) through cheap strip tables, and the finest level (d=1)
-    runs on every pixel through the wide-row table.  Unconverged pixels
-    beyond the budget degrade gracefully to finest-level-only refinement.
+    static shape) through cheap strip tables, and a finest level runs on
+    every pixel through the wide-row table.  Unconverged pixels beyond the
+    budget degrade gracefully to finest-level-only refinement.
+
+    Two further measured-speed knobs (bench: the full-N radius-3 finest
+    level costs ~9 ms at 384x512 — pure gather bandwidth — vs ~2.3 ms at
+    radius 1; each strip level ~2-3 ms on a 12.5% subset):
+
+    * ``subset_dilations``: the dilation schedule for the subset levels.
+      None = reference schedule (dilation_max..2).  A covering schedule like
+      (5, 2, 1) spans the same +-radius*dilation_max search region — each
+      level's window covers the previous level's quantisation residual
+      (radius*d_next >= d_prev/2) — with fewer levels, and its trailing
+      d=1 gives the subset a full radius-3 finest pass via strip tables.
+    * ``final_radius``: radius of the all-pixels finest level (None = radius,
+      the reference window).  With subset_dilations ending in 1, converged
+      pixels are the only ones relying on this level, and their projective
+      match is already sub-pixel — a radius-1 window captures the
+      descriptor snap at ~1/4 the gather bytes.  0 skips the level.
     """
     B, H, W, F = D11.shape
     N = H * W
     budget = max(int(N * budget_frac) // 128 * 128, 128)
+    if subset_dilations is None:
+        subset_dilations = tuple(range(dilation_max, 1, -1))
+    if final_radius is None:
+        final_radius = radius
 
     sel = _compact_unconverged(converged, budget)
 
@@ -479,13 +501,15 @@ def refine_matches_gated(D11, D21, p1, converged, radius: int = 3,
     Dpad = jnp.pad(D11q, ((0, 0), (max_rd, max_rd), (max_rd, max_rd), (0, 0)))
     u0, v0 = _refine_coarse_subset(
         Dpad, D21q_sel, p_sel[..., 0], p_sel[..., 1], H, W, max_rd,
-        radius, list(range(dilation_max, 1, -1)),
+        radius, list(subset_dilations),
     )
     p_all = p1.astype(jnp.int32)
     p_all = jax.vmap(lambda pa, s, pc: pa.at[s].set(pc))(
         p_all, sel, jnp.stack([u0, v0], axis=-1)
     )
-    return refine_matches(D11, D21, p_all, radius=radius, dilation_max=1)
+    if final_radius == 0:
+        return p_all
+    return refine_matches(D11, D21, p_all, radius=final_radius, dilation_max=1)
 
 
 def match(
@@ -503,6 +527,8 @@ def match(
     dilation_max: int = 5,
     refine_gate: str = "none",
     refine_budget_frac: float = 0.125,
+    refine_subset_dilations=None,
+    refine_final_radius: int = None,
     proj_gate: str = "none",
     proj_init: str = "warm",
     proj_pre_iters: int = 2,
@@ -512,7 +538,9 @@ def match(
 
     X11, X21: (B, H, W, 3); D11, D21: (B, H, W, F).
     refine_gate: "none" = reference-exact full pyramid on every pixel;
-    "converged" = coarse levels only on unconverged pixels (speed mode).
+    "converged" = coarse levels only on unconverged pixels (speed mode),
+    tunable via refine_subset_dilations / refine_final_radius (see
+    refine_matches_gated).
     proj_gate: "none" = every pixel runs all LM iterations (reference-exact);
     "converged" = straggler compaction after proj_pre_iters (speed mode).
     proj_init: "warm" = previous-frame index (reference); "pinhole" = project
@@ -558,6 +586,8 @@ def match(
             p1 = refine_matches_gated(
                 D11, D21_flat, p1, valid_proj, radius=radius,
                 dilation_max=dilation_max, budget_frac=refine_budget_frac,
+                subset_dilations=refine_subset_dilations,
+                final_radius=refine_final_radius,
             )
         else:
             p1 = refine_matches(

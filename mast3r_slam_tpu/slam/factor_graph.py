@@ -147,6 +147,11 @@ class FactorGraph:
             dilation_max=m["dilation_max"],
             refine_gate=m.get("refine_gate", "none"),
             refine_budget_frac=m.get("refine_budget_frac", 0.125),
+            refine_subset_dilations=(
+                tuple(m["refine_subset_dilations"])
+                if m.get("refine_subset_dilations") else None
+            ),
+            refine_final_radius=m.get("refine_final_radius"),
             proj_gate=m.get("proj_gate", "none"),
             proj_init=m.get("proj_init", "warm"),
             proj_pre_iters=m.get("proj_pre_iters", 2),

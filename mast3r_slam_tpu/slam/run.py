@@ -36,6 +36,9 @@ def build_slam(cfg, dataset, checkpoint=None, retrieval_checkpoint=None,
     trunk_dtype = cfg.get("engine", {}).get("dtype", "bfloat16")
     if preset == "vit_large" and trunk_dtype == "float32":
         mcfg = dataclasses.replace(mcfg, dtype=_jnp.float32)
+    attn_impl = cfg.get("engine", {}).get("attn_impl", "xla")
+    if attn_impl != mcfg.attn_impl:
+        mcfg = dataclasses.replace(mcfg, attn_impl=attn_impl)
     if checkpoint and str(checkpoint).endswith(".npz"):
         from ..models.io import load_params
 

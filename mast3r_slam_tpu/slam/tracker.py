@@ -37,6 +37,8 @@ class TrackerSettings(NamedTuple):
     dilation_max: int = 5
     refine_gate: str = "none"
     refine_budget_frac: float = 0.125
+    refine_subset_dilations: tuple = None  # None = dilation_max..2
+    refine_final_radius: int = None        # None = radius
     proj_gate: str = "none"
     proj_init: str = "warm"
     proj_pre_iters: int = 2
@@ -63,6 +65,11 @@ class TrackerSettings(NamedTuple):
             dilation_max=m["dilation_max"],
             refine_gate=m.get("refine_gate", "none"),
             refine_budget_frac=m.get("refine_budget_frac", 0.125),
+            refine_subset_dilations=(
+                tuple(m["refine_subset_dilations"])
+                if m.get("refine_subset_dilations") else None
+            ),
+            refine_final_radius=m.get("refine_final_radius"),
             proj_gate=m.get("proj_gate", "none"),
             proj_init=m.get("proj_init", "warm"),
             proj_pre_iters=m.get("proj_pre_iters", 2),
@@ -120,6 +127,8 @@ def _track_compute(
         dilation_max=ts.dilation_max,
         refine_gate=ts.refine_gate,
         refine_budget_frac=ts.refine_budget_frac,
+        refine_subset_dilations=ts.refine_subset_dilations,
+        refine_final_radius=ts.refine_final_radius,
         proj_gate=ts.proj_gate,
         proj_init=ts.proj_init,
         proj_pre_iters=ts.proj_pre_iters,

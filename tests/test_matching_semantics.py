@@ -248,3 +248,63 @@ def test_iter_proj_gated_matches_exact(rng):
     # reference can drift those sub-pixel, occasionally flipping the integer
     # rounding (the downstream +-15px descriptor search absorbs 1px seeds)
     assert agree_w > 0.95, agree_w
+
+
+def test_refine_gated_speed_knobs_recover_peak(rng):
+    """Covering dilation schedule + radius-1 finest (speed.yaml knobs):
+    unconverged pixels recover a descriptor peak anywhere in the full
+    +-radius*dilation_max window; converged pixels snap +-1."""
+    H, W, F = 24, 32, 8
+    # smooth unit-norm descriptor field so nearby pixels have similar desc
+    from scipy.ndimage import gaussian_filter
+
+    D11 = gaussian_filter(rng.normal(size=(H, W, F)), sigma=(2, 2, 0))
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
+    radius, dil = 2, 3  # window +-6
+
+    n = 64
+    margin = radius * dil + 1
+    tu = rng.integers(margin, W - margin, n)
+    tv = rng.integers(margin, H - margin, n)
+    D21 = D11[tv, tu]  # exact descriptor at the true position
+
+    # unconverged: init up to the full search offset away
+    off = rng.integers(-radius * dil, radius * dil + 1, (n, 2))
+    p1 = np.stack([tu, tv], -1) + off
+    out = matching.refine_matches_gated(
+        jnp.asarray(D11, dtype=jnp.float32)[None],
+        jnp.asarray(D21, dtype=jnp.float32)[None],
+        jnp.asarray(p1, dtype=jnp.int32)[None],
+        jnp.zeros((1, n), bool),
+        radius=radius, dilation_max=dil, budget_frac=1.0,
+        subset_dilations=(3, 1), final_radius=1,
+    )
+    out = np.asarray(out[0])
+    hit = (out[:, 0] == tu) & (out[:, 1] == tv)
+    assert hit.mean() >= 0.9, hit.mean()
+
+    # converged pixels OUTSIDE the compacted subset (the subset is padded
+    # with low-index filler pixels) see only the radius-1 final level; it
+    # must equal the brute-force int8 argmax over the 3x3 window
+    n2 = 256  # > minimum budget of 128 so some pixels stay outside
+    tu2 = rng.integers(margin, W - margin, n2)
+    tv2 = rng.integers(margin, H - margin, n2)
+    D21c = D11[tv2, tu2]
+    off1 = rng.integers(-1, 2, (n2, 2))
+    p1c = np.stack([tu2, tv2], -1) + off1
+    outc = matching.refine_matches_gated(
+        jnp.asarray(D11, dtype=jnp.float32)[None],
+        jnp.asarray(D21c, dtype=jnp.float32)[None],
+        jnp.asarray(p1c, dtype=jnp.int32)[None],
+        jnp.ones((1, n2), bool),
+        radius=radius, dilation_max=dil, budget_frac=1e-6,  # budget -> 128
+        subset_dilations=(3, 1), final_radius=1,
+    )
+    outc = np.asarray(outc[0])
+    D11q = np.clip(np.round(D11 * 127), -127, 127)
+    D21q = np.clip(np.round(D21c * 127), -127, 127)
+    n_agree = 0
+    for i in range(128, n2):  # pixels past the filler subset
+        uo, vo = refine_oracle(D11q, D21q[i], int(p1c[i, 0]), int(p1c[i, 1]), 1, 1)
+        n_agree += int(outc[i, 0] == uo and outc[i, 1] == vo)
+    assert n_agree >= (n2 - 128) - 2, (n_agree, n2 - 128)  # bf16 ties
