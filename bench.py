@@ -51,13 +51,16 @@ def main():
     cfg = M.VIT_LARGE
     grid = cfg.grid((H, W))
 
-    # liveness probe under a short watchdog, then a generous compile window
-    probe_guard = _watchdog(180)
+    # liveness probe under a watchdog, then a generous compile window.
+    # The remote compile service has been observed to degrade to ~3-4 min
+    # for a TRIVIAL program (2026-08-19); both limits are sized for that
+    # state — the probe only has to distinguish "slow" from "wedged".
+    probe_guard = _watchdog(900)
     import numpy as _np
 
     _ = _np.asarray((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0])
     probe_guard.cancel()
-    _watchdog(1800)
+    _watchdog(3600)
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     params = M.init_params(jax.random.key(0), cfg)
