@@ -78,9 +78,15 @@ def main():
     T_id = sim3.identity()
     K = jnp.eye(3, dtype=jnp.float32)
 
-    @jax.jit
+    # three device programs per frame, exactly the engine's structure
+    # (slam/tracker.py: model.encode -> model.asymmetric -> _track_compute).
+    # One mega-jit measures ~19 ms SLOWER than the same ops as separate
+    # programs (XLA scheduling regression when model + matcher fuse) and is
+    # not what the engine executes.
+    enc = jax.jit(lambda p, im: M.encode_image(p, cfg, im))
+
     def frame_step(params, img, kf_feat, kf_pos, kf_X, kf_C, T_WCf, T_WCk, idx_init):
-        feat, pos = M.encode_image(params, cfg, img)
+        feat, pos = enc(params, img)
         (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = M.inference_asymmetric(
             params, cfg, feat, pos, kf_feat, kf_pos, grid
         )
