@@ -232,7 +232,6 @@ def iter_proj(
     u = jnp.clip(p_init[..., 0], 1.0, W - 2.0)
     v = jnp.clip(p_init[..., 1], 1.0, H - 2.0)
     lam = jnp.full(u.shape, lambda_init, dtype=u.dtype)
-    conv = jnp.zeros(u.shape, dtype=bool)
 
     err, cost, gx, gy = _ray_err(_sample_packed(table, W, u, v), pts3d_norm)
 
@@ -250,6 +249,12 @@ def iter_proj(
         cost = jnp.where(better, cost2, cost)
         gx = jnp.where(b1, gx2, gx)
         gy = jnp.where(b1, gy2, gy)
+
+    # seed the convergence flag from the init cost: the body recomputes conv
+    # from the current cost every iteration, so this is semantically inert
+    # for gate="none" and only lets gate="converged" compact well-initialised
+    # pixels out after fewer lock-step iterations.
+    conv = cost < cost_thresh
 
     state = (u, v, lam, conv, err, cost, gx, gy)
     body = _lm_body(table, W, H, pts3d_norm, cost_thresh)
