@@ -22,7 +22,8 @@ class MASt3RModel:
     """Stateless convenience wrapper: params + config + image size."""
 
     def __init__(self, params, mcfg: M.ModelConfig, img_hw: Tuple[int, int]):
-        self.params = params
+        # idempotent; covers the .npz load path (init/convert already cast)
+        self.params = M.cast_head_weights(params, mcfg)
         self.mcfg = mcfg
         self.img_hw = img_hw
         self.grid = mcfg.grid(img_hw)

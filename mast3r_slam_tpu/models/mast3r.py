@@ -60,6 +60,17 @@ class ModelConfig:
     head_dtype: Any = jnp.float32  # DPT/MLP head dtype (reference pins f32,
                                    # mast3r_utils.py:36-39; bf16 is a perf
                                    # knob pending real-ATE validation)
+    head_store_dtype: Any = None   # storage dtype of head matmul/conv weights.
+                                   # bf16 is bitwise IDENTICAL on TPU for the
+                                   # DPT convs (XLA's DEFAULT f32 conv precision
+                                   # truncates operands to bf16 in the MXU —
+                                   # measured max|diff| 0.0 on v5e) and wins in
+                                   # isolation (3.2->2.7 ms), but the full
+                                   # dec+heads program did NOT reproduce a win
+                                   # and the big local-MLP dots LOSE ~2x with
+                                   # mixed f32@bf16 operands
+                                   # (scripts/microbench_headstore.py). Off
+                                   # until a stable-session A/B justifies it.
     scan_unroll: int = 1           # lax.scan unroll factor for block stacks
     attn_impl: str = "xla"         # "xla" | "fused" (Pallas on-chip softmax;
                                    # same f32-softmax numerics, no HBM logits)
@@ -92,6 +103,44 @@ VIT_TINY_TEST = ModelConfig(
 # init
 # ---------------------------------------------------------------------------
 
+def _resolve_head_store_dtype(cfg: ModelConfig):
+    hs = cfg.head_store_dtype
+    if isinstance(hs, str) and hs == "auto":  # opt-in: TPU-only fast path
+        plat = jax.devices()[0].platform
+        return jnp.bfloat16 if plat in ("tpu", "axon") else None
+    return hs
+
+
+def cast_head_weights(params, cfg: ModelConfig) -> Dict[str, Any]:
+    """Store head matmul/conv weights in the resolved head-store dtype.
+
+    Halves ~630 MB of per-frame head weight traffic at ViT-L (two DPT +
+    two 1792->7168->6400 local-MLP heads).  Only "w" leaves are cast;
+    biases stay f32 and every use site upcasts to the f32 compute dtype
+    (``conv2d``/``linear`` compute in ``x.dtype``), so on TPU — where the
+    MXU truncates f32 dot/conv operands to bf16 regardless — results are
+    bitwise identical to f32 storage.  Idempotent.
+    """
+    dt = _resolve_head_store_dtype(cfg)
+    if dt is None:
+        return params
+
+    def cast_tree(tree):
+        def go(path, leaf):
+            keys = [p.key for p in path if hasattr(p, "key")]
+            if keys and keys[-1] == "w":
+                return leaf.astype(dt)
+            return leaf
+
+        return jax.tree_util.tree_map_with_path(go, tree)
+
+    out = dict(params)
+    for k in ("head1", "head2"):
+        if k in out:
+            out[k] = cast_tree(out[k])
+    return out
+
+
 def cast_trunk_params(params, cfg: ModelConfig) -> Dict[str, Any]:
     """Store trunk matmul weights in the trunk compute dtype.
 
@@ -101,8 +150,10 @@ def cast_trunk_params(params, cfg: ModelConfig) -> Dict[str, Any]:
     that traffic with bitwise-identical results (same f32->bf16 rounding,
     applied once instead of per use).  Layer-norm parameters and biases stay
     f32 (`layer_norm` computes in f32; bias adds are epilogue-fused).
-    Heads are untouched (reference pins f32 heads, mast3r_utils.py:36-39).
+    Head COMPUTE stays f32 (reference pins f32 heads, mast3r_utils.py:36-39);
+    head weight STORAGE follows ``cast_head_weights`` (free on TPU).
     """
+    params = cast_head_weights(params, cfg)
     if cfg.dtype == jnp.float32:
         return params
 
