@@ -37,41 +37,55 @@ from ..utils.image import img_gradient
 # iter_proj
 # ---------------------------------------------------------------------------
 
-def _pack_bilinear_table(img):
-    """(B, H, W, C) -> (B, H*W, 4C) rows [TL, TR, BL, BR] per pixel."""
+def _pack_bilinear_table(img, extra=None):
+    """(B, H, W, C) -> (B, H*W, 4C [+E]) rows [TL, TR, BL, BR [, extra]].
+
+    ``extra`` (B, H, W, E) channels are NOT interpolated: they ride along as
+    the value at the row's own pixel, so a sample at float (u, v) returns
+    them at exactly (floor(v), floor(u)).  Lets one gather serve both the
+    bilinear ray sample and an integer-pixel lookup (e.g. the occlusion
+    check's X11[p], reference matching.py:73) — gathers are row-billed on
+    TPU, so the wider row is free while a second gather is not.
+    """
     B, H, W, C = img.shape
     p = jnp.pad(img, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
     tl = p[:, :H, :W]
     tr = p[:, :H, 1 : W + 1]
     bl = p[:, 1 : H + 1, :W]
     br = p[:, 1 : H + 1, 1 : W + 1]
-    packed = jnp.concatenate([tl, tr, bl, br], axis=-1)
-    return packed.reshape(B, H * W, 4 * C)
+    parts = [tl, tr, bl, br] + ([extra] if extra is not None else [])
+    packed = jnp.concatenate(parts, axis=-1)
+    return packed.reshape(B, H * W, packed.shape[-1])
 
 
-def _sample_packed(table, W, u, v):
+def _sample_packed(table, W, u, v, C=None):
     """Bilinear sample from the packed table at float (u, v) (B, N).
 
-    Returns (B, N, C) where C = table_width // 4.
+    C: channel count of the bilinear part (default: width // 4, no extra).
+    Returns (B, N, C), or ((B, N, C), (B, N, E) TL-extra) when the table is
+    wider than 4C.
     """
-    C4 = table.shape[-1]
-    C = C4 // 4
+    if C is None:
+        C = table.shape[-1] // 4
     u0f = jnp.floor(u)
     v0f = jnp.floor(v)
     du = (u - u0f)[..., None]
     dv = (v - v0f)[..., None]
     idx = v0f.astype(jnp.int32) * W + u0f.astype(jnp.int32)
-    rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, N, 4C)
+    rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, N, 4C+E)
     tl = rows[..., 0:C]
     tr = rows[..., C : 2 * C]
     bl = rows[..., 2 * C : 3 * C]
-    br = rows[..., 3 * C :]
-    return (
+    br = rows[..., 3 * C : 4 * C]
+    smp = (
         (1 - du) * (1 - dv) * tl
         + du * (1 - dv) * tr
         + (1 - du) * dv * bl
         + du * dv * br
     )
+    if table.shape[-1] > 4 * C:
+        return smp, rows[..., 4 * C :]
+    return smp
 
 
 def _ray_err(sample, target):
@@ -148,16 +162,26 @@ def _compact_unconverged(conv, budget: int):
     return jax.vmap(lambda b, p, i: b.at[p].set(i, mode="drop"))(base, pos, idxs)
 
 
+def _sample9x(table, W, u, v):
+    """Sample the 9-ch ray table; always returns (sample, TL-extra)."""
+    out = _sample_packed(table, W, u, v, C=9)
+    if isinstance(out, tuple):
+        return out
+    return out, out[..., :0]  # zero-width extra: uniform state, XLA elides
+
+
 def _lm_body(table, W, H, pts3d_norm, cost_thresh):
     """One lock-step LM iteration over (B, N) pixel states.
 
     Exactly the CUDA loop body (matching_kernels.cu:152-266): solve the
     2x2 LM system, test the trial sample, accept/reject, adapt lambda.
-    The accepted trial sample is carried so each iteration costs ONE gather.
+    The accepted trial sample is carried so each iteration costs ONE gather;
+    any TL-extra channels (occlusion X11) are carried under the same
+    accept/reject, so they always hold the value at the CURRENT (u, v).
     """
 
     def body(_, state):
-        u, v, lam, conv, err, cost, gx, gy = state
+        u, v, lam, conv, err, cost, gx, gy, xtl = state
 
         A00 = jnp.sum(gx * gx, axis=-1) + lam
         A01 = jnp.sum(gx * gy, axis=-1)
@@ -173,9 +197,8 @@ def _lm_body(table, W, H, pts3d_norm, cost_thresh):
         u_new = jnp.clip(u + du, 1.0, W - 2.0)
         v_new = jnp.clip(v + dv, 1.0, H - 2.0)
 
-        n_err, n_cost, n_gx, n_gy = _ray_err(
-            _sample_packed(table, W, u_new, v_new), pts3d_norm
-        )
+        smp, n_xtl = _sample9x(table, W, u_new, v_new)
+        n_err, n_cost, n_gx, n_gy = _ray_err(smp, pts3d_norm)
 
         accept = n_cost < cost
         acc1 = accept[..., None]
@@ -187,7 +210,8 @@ def _lm_body(table, W, H, pts3d_norm, cost_thresh):
         gx = jnp.where(acc1, n_gx, gx)
         gy = jnp.where(acc1, n_gy, gy)
         cost = jnp.where(accept, n_cost, cost)
-        return u, v, lam, conv, err, cost, gx, gy
+        xtl = jnp.where(acc1, n_xtl, xtl)
+        return u, v, lam, conv, err, cost, gx, gy, xtl
 
     return body
 
@@ -204,6 +228,7 @@ def iter_proj(
     pre_iters: int = 2,
     budget_frac: float = 0.125,
     p_init_alt=None,
+    extra_img=None,
 ):
     """Vectorised per-pixel LM projective association.
 
@@ -220,27 +245,32 @@ def iter_proj(
     CUDA loop could still drift those by sub-pixel amounts.
     p_init_alt: optional second (B, N, 2) initialisation — the per-pixel
     lower-cost of the two inits seeds the LM (one extra gather).
-    Returns (p_new (B, N, 2) float32, converged (B, N) bool).
+    extra_img: optional (B, H, W, E) image whose value at the FINAL integer
+    pixel floor(v)*W+floor(u) is returned alongside (packed into the same
+    gather rows — free on a row-billed gather, where a separate lookup
+    gather is not).
+    Returns (p_new (B, N, 2) float32, converged (B, N) bool[, extra_at
+    (B, N, E)]).
     """
     B, H, W, _ = rays_with_grad_img.shape
     N = pts3d_norm.shape[1]
     rays_with_grad_img = rays_with_grad_img.astype(jnp.float32)
     pts3d_norm = pts3d_norm.astype(jnp.float32)
     p_init = p_init.astype(jnp.float32)
-    table = _pack_bilinear_table(rays_with_grad_img)  # (B, HW, 36)
+    table = _pack_bilinear_table(rays_with_grad_img, extra_img)  # (B,HW,36+E)
 
     u = jnp.clip(p_init[..., 0], 1.0, W - 2.0)
     v = jnp.clip(p_init[..., 1], 1.0, H - 2.0)
     lam = jnp.full(u.shape, lambda_init, dtype=u.dtype)
 
-    err, cost, gx, gy = _ray_err(_sample_packed(table, W, u, v), pts3d_norm)
+    smp, xtl = _sample9x(table, W, u, v)
+    err, cost, gx, gy = _ray_err(smp, pts3d_norm)
 
     if p_init_alt is not None:
         u2 = jnp.clip(p_init_alt[..., 0].astype(jnp.float32), 1.0, W - 2.0)
         v2 = jnp.clip(p_init_alt[..., 1].astype(jnp.float32), 1.0, H - 2.0)
-        err2, cost2, gx2, gy2 = _ray_err(
-            _sample_packed(table, W, u2, v2), pts3d_norm
-        )
+        smp2, xtl2 = _sample9x(table, W, u2, v2)
+        err2, cost2, gx2, gy2 = _ray_err(smp2, pts3d_norm)
         better = cost2 < cost
         b1 = better[..., None]
         u = jnp.where(better, u2, u)
@@ -249,6 +279,7 @@ def iter_proj(
         cost = jnp.where(better, cost2, cost)
         gx = jnp.where(b1, gx2, gx)
         gy = jnp.where(b1, gy2, gy)
+        xtl = jnp.where(b1, xtl2, xtl)
 
     # seed the convergence flag from the init cost: the body recomputes conv
     # from the current cost every iteration, so this is semantically inert
@@ -256,8 +287,15 @@ def iter_proj(
     # pixels out after fewer lock-step iterations.
     conv = cost < cost_thresh
 
-    state = (u, v, lam, conv, err, cost, gx, gy)
+    state = (u, v, lam, conv, err, cost, gx, gy, xtl)
     body = _lm_body(table, W, H, pts3d_norm, cost_thresh)
+
+    def done(state):
+        u, v, conv, xtl = state[0], state[1], state[3], state[8]
+        p = jnp.stack([u, v], axis=-1)
+        if extra_img is None:
+            return p, conv
+        return p, conv, xtl
 
     # loops over the (13*N floats) LM state are UNROLLED: lax.fori_loop
     # materialises the carry every trip (~2.5 ms/iter at 384x512 on v5e,
@@ -266,20 +304,19 @@ def iter_proj(
     if gate == "none" or pre_iters >= max_iter or budget >= N:
         for i in range(max_iter):
             state = body(i, state)
-        u, v, conv = state[0], state[1], state[3]
-        return jnp.stack([u, v], axis=-1), conv
+        return done(state)
 
     # --- gated: lock-step warmup, then compact the stragglers -------------
     for i in range(pre_iters):
         state = body(i, state)
-    u, v, lam, conv, err, cost, gx, gy = state
+    u, v, lam, conv, err, cost, gx, gy, xtl = state
     sel = _compact_unconverged(conv, budget)
 
     take = lambda a: jnp.take_along_axis(a, sel, axis=1)
     take3 = lambda a: jnp.take_along_axis(a, sel[..., None], axis=1)
     sub = (
         take(u), take(v), take(lam), take(conv),
-        take3(err), take(cost), take3(gx), take3(gy),
+        take3(err), take(cost), take3(gx), take3(gy), take3(xtl),
     )
     tgt_sub = take3(pts3d_norm)
     body_sub = _lm_body(table, W, H, tgt_sub, cost_thresh)
@@ -290,7 +327,8 @@ def iter_proj(
     u = scat(u, sub[0])
     v = scat(v, sub[1])
     conv = scat(conv, sub[3])
-    return jnp.stack([u, v], axis=-1), conv
+    xtl = scat(xtl, sub[8])
+    return done((u, v, None, conv, None, None, None, None, xtl))
 
 
 # ---------------------------------------------------------------------------
@@ -564,7 +602,7 @@ def match(
             p_init = p_pin
         else:
             p_alt = p_pin
-    p1, valid_proj = iter_proj(
+    p1, valid_proj, X11_at = iter_proj(
         rays_with_grad,
         pts3d_norm,
         p_init,
@@ -575,13 +613,12 @@ def match(
         pre_iters=proj_pre_iters,
         budget_frac=proj_budget_frac,
         p_init_alt=p_alt,
+        extra_img=X11,  # X11[p1] rides the LM gathers (occlusion check,
+                        # matching.py:73) — saves a full-N row gather
     )
     p1 = p1.astype(jnp.int32)
 
     # occlusion check: 3D distance between matched points
-    X11_flat = X11.reshape(B, H * W, 3)
-    idx_lin = pixel_to_lin(p1, W)
-    X11_at = jnp.take_along_axis(X11_flat, idx_lin[..., None], axis=1)
     dists = jnp.linalg.norm(X11_at - X21.reshape(B, H * W, 3), axis=-1)
     valid = valid_proj & (dists < dist_thresh)
 

@@ -308,3 +308,30 @@ def test_refine_gated_speed_knobs_recover_peak(rng):
         uo, vo = refine_oracle(D11q, D21q[i], int(p1c[i, 0]), int(p1c[i, 1]), 1, 1)
         n_agree += int(outc[i, 0] == uo and outc[i, 1] == vo)
     assert n_agree >= (n2 - 128) - 2, (n_agree, n2 - 128)  # bf16 ties
+
+
+def test_iter_proj_extra_img_is_exact_tl_lookup(rng):
+    """extra_img channels must equal extra[floor(v), floor(u)] at the FINAL
+    position, in both the ungated and gated paths (they replace the separate
+    occlusion gather of X11[p1], reference matching.py:73)."""
+    import jax.numpy as jnp
+
+    H, W = 24, 32
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    z = 2.0 + 0.2 * np.sin(xx / 5.0) * np.cos(yy / 4.0)
+    X = np.stack([(xx - W / 2) / 40.0 * z, (yy - H / 2) / 40.0 * z, z], -1)
+    X = X[None].astype(np.float32)
+
+    rays, tgt, p0 = matching.prep_for_iter_proj(
+        jnp.asarray(X), jnp.asarray(np.roll(X, -3, axis=2)), None
+    )
+    extra = jnp.asarray(X)
+    for gate, pre in (("none", 2), ("converged", 0)):
+        p, conv, x_at = matching.iter_proj(
+            rays, tgt, p0, max_iter=6, gate=gate, pre_iters=pre,
+            budget_frac=0.25, extra_img=extra,
+        )
+        p = np.asarray(p)
+        lin = p[..., 0].astype(np.int64) + W * p[..., 1].astype(np.int64)
+        want = X.reshape(1, -1, 3)[0, lin[0]]
+        np.testing.assert_array_equal(np.asarray(x_at)[0], want)
