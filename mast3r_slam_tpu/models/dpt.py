@@ -103,12 +103,18 @@ def feature_fusion_block(p, x, res=None):
     """Fusion stage: optional skip-merge, refine, x2 upsample, 1x1 conv.
 
     (dpt_block.py:144-213, deconv=False, expand=False, align_corners=True).
+    The reference order is upsample -> 1x1 out_conv; a 1x1 conv is a
+    per-pixel channel map and bilinear interpolation is a convex (rows sum
+    to 1) spatial map on each channel, so they commute EXACTLY (incl. the
+    bias) — applying out_conv before the x2 upsample computes the same
+    function on 1/4 the pixels (saves ~3/4 of its MACs and a full-res
+    256-ch intermediate per stage).
     """
     if res is not None:
         x = x + residual_conv_unit(p["res1"], res)
     x = residual_conv_unit(p["res2"], x)
-    x = upsample2x_align_corners(x)
-    return conv2d(p["out_conv"], x, stride=1, padding=0)
+    x = conv2d(p["out_conv"], x, stride=1, padding=0)
+    return upsample2x_align_corners(x)
 
 
 def dpt_forward(p, hook_tokens, grid_hw, num_channels: int):

@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..utils.image import img_gradient
+from ..utils.image import img_gradient_nhwc
 
 
 # ---------------------------------------------------------------------------
@@ -428,12 +428,8 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
     """
     B, H, W, _ = X11.shape
     rays = X11 / jnp.linalg.norm(X11, axis=-1, keepdims=True)
-    rays_chw = jnp.moveaxis(rays, -1, 1)  # (B, 3, H, W)
-    gx, gy = img_gradient(rays_chw)
-    rays_with_grad = jnp.concatenate(
-        [rays_chw, gx, gy], axis=1
-    )  # (B, 9, H, W)
-    rays_with_grad = jnp.moveaxis(rays_with_grad, 1, -1)  # (B, H, W, 9)
+    gx, gy = img_gradient_nhwc(rays)  # NHWC-native: no layout transposes
+    rays_with_grad = jnp.concatenate([rays, gx, gy], axis=-1)  # (B, H, W, 9)
 
     X21_vec = X21.reshape(B, H * W, 3)
     pts3d_norm = X21_vec / jnp.linalg.norm(X21_vec, axis=-1, keepdims=True)

@@ -23,16 +23,35 @@ def _reflect_pad_hw(img):
 
 def img_gradient(img):
     """Scharr-like x/y gradients of (..., C, H, W) -> (gx, gy) same shape."""
-    p = _reflect_pad_hw(img)
-    # neighbourhood slices
-    tl = p[..., :-2, :-2]
-    tc = p[..., :-2, 1:-1]
-    tr = p[..., :-2, 2:]
-    ml = p[..., 1:-1, :-2]
-    mr = p[..., 1:-1, 2:]
-    bl = p[..., 2:, :-2]
-    bc = p[..., 2:, 1:-1]
-    br = p[..., 2:, 2:]
+    return _scharr(img, h_axis=-2, w_axis=-1)
+
+
+def img_gradient_nhwc(img):
+    """Scharr-like x/y gradients of (..., H, W, C) -> (gx, gy) same shape.
+
+    Identical math to ``img_gradient`` with channels last — lets callers in
+    NHWC (the TPU-native layout) skip two full-image transposes.
+    """
+    return _scharr(img, h_axis=-3, w_axis=-2)
+
+
+def _scharr(img, h_axis: int, w_axis: int):
+    pad = [(0, 0)] * img.ndim
+    pad[h_axis] = (1, 1)
+    pad[w_axis] = (1, 1)
+    p = jnp.pad(img, pad, mode="reflect")
+
+    def sl(dy, dx):
+        idx = [slice(None)] * img.ndim
+        n_h = img.shape[h_axis]
+        n_w = img.shape[w_axis]
+        idx[h_axis] = slice(dy, dy + n_h)
+        idx[w_axis] = slice(dx, dx + n_w)
+        return p[tuple(idx)]
+
+    tl, tc, tr = sl(0, 0), sl(0, 1), sl(0, 2)
+    ml, mr = sl(1, 0), sl(1, 2)
+    bl, bc, br = sl(2, 0), sl(2, 1), sl(2, 2)
     k = 1.0 / 32.0
     gx = k * (3.0 * (tr - tl) + 10.0 * (mr - ml) + 3.0 * (br - bl))
     gy = k * (3.0 * (bl - tl) + 10.0 * (bc - tc) + 3.0 * (br - tr))
