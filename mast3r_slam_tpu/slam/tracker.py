@@ -202,11 +202,13 @@ def _track_compute(
         kf_X, kf_C, kf_n_fused, Xkk, Cji_f, mode=ts.filtering_mode
     )
 
-    # 6. keyframe decision stats (tracker.py:103-110)
+    # 6. keyframe decision stats (tracker.py:103-110).  hit[j] = 1 iff some
+    # VALID keyframe pixel matched frame pixel j; scatter-set with dropped
+    # invalid rows is exactly scatter-max of the 0/1 validity and measured
+    # ~30% cheaper (scripts/microbench_scatter.py).
     match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
-    hit = jnp.zeros((N,), dtype=jnp.float32).at[idx_f2k].max(
-        valid_match[:, 0].astype(jnp.float32)
-    )
+    idx_hit = jnp.where(valid_match[:, 0], idx_f2k, N)
+    hit = jnp.zeros((N,), dtype=jnp.float32).at[idx_hit].set(1.0, mode="drop")
     unique_frac_f = jnp.sum(hit) / N
 
     return dict(
