@@ -60,17 +60,18 @@ class ModelConfig:
     head_dtype: Any = jnp.float32  # DPT/MLP head dtype (reference pins f32,
                                    # mast3r_utils.py:36-39; bf16 is a perf
                                    # knob pending real-ATE validation)
-    head_store_dtype: Any = None   # storage dtype of head matmul/conv weights.
-                                   # bf16 is bitwise IDENTICAL on TPU for the
-                                   # DPT convs (XLA's DEFAULT f32 conv precision
-                                   # truncates operands to bf16 in the MXU —
-                                   # measured max|diff| 0.0 on v5e) and wins in
-                                   # isolation (3.2->2.7 ms), but the full
-                                   # dec+heads program did NOT reproduce a win
-                                   # and the big local-MLP dots LOSE ~2x with
-                                   # mixed f32@bf16 operands
-                                   # (scripts/microbench_headstore.py). Off
-                                   # until a stable-session A/B justifies it.
+    head_store_dtype: Any = None   # storage dtype of head matmul/conv weights
+                                   # ("auto" = bf16 on TPU, f32 on CPU; None
+                                   # disables). bf16 is bitwise IDENTICAL on
+                                   # TPU (XLA's DEFAULT f32 dot/conv precision
+                                   # truncates BOTH operands to bf16 in the
+                                   # MXU; max|diff| 0.0 for the DPT convs AND
+                                   # the 7168x6400 fc2 dot) and wins standalone
+                                   # (fc2 0.54 -> 0.36 ms), but LOSES ~3 ms in
+                                   # the full dec+heads program — confirmed in
+                                   # two sessions (bench 35.8 -> 39.1 ms):
+                                   # mixed-dtype weights flip XLA's layout/
+                                   # fusion choices for the worse. Keep f32.
     scan_unroll: int = 1           # lax.scan unroll factor for block stacks
     attn_impl: str = "xla"         # "xla" | "fused" (Pallas on-chip softmax;
                                    # same f32-softmax numerics, no HBM logits)
