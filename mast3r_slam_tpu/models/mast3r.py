@@ -73,6 +73,16 @@ class ModelConfig:
                                    # mixed-dtype weights flip XLA's layout/
                                    # fusion choices for the worse. Keep f32.
     scan_unroll: int = 1           # lax.scan unroll factor for block stacks
+    enc_loop: str = "python"       # "python" | "scan" encoder block stack.
+                                   # lax.scan dynamic-slices (COPIES) its
+                                   # stacked ViT-L weights every trip — the
+                                   # profiler shows ~1.5 ms/run of pure weight
+                                   # copying; a python loop over static
+                                   # leading-axis slices reads them in place
+                                   # (enc 6.5 -> 5.2 ms, all A/B rounds,
+                                   # scripts/microbench_pyloop.py)
+    dec_loop: str = "scan"         # decoder blocks are 768-dim (weights 3x
+                                   # smaller); python loop measured a wash
     attn_impl: str = "xla"         # "xla" | "fused" (Pallas on-chip softmax;
                                    # same f32-softmax numerics, no HBM logits)
 
@@ -265,10 +275,17 @@ def encode_image(params, cfg: ModelConfig, img):
     pos = patch_positions(B, grid)
     rope_cs = rope2d_tables(pos, cfg.head_dim_enc, cfg.rope_base)
 
-    def step(h, bp):
-        return encoder_block(bp, h, rope_cs, cfg.enc_num_heads, cfg.attn_impl), None
+    if cfg.enc_loop == "python":
+        for i in range(cfg.enc_depth):
+            bp = jax.tree.map(lambda a: a[i], params["enc_blocks"])
+            x = encoder_block(bp, x, rope_cs, cfg.enc_num_heads, cfg.attn_impl)
+    else:
+        def step(h, bp):
+            return encoder_block(
+                bp, h, rope_cs, cfg.enc_num_heads, cfg.attn_impl
+            ), None
 
-    x, _ = jax.lax.scan(step, x, params["enc_blocks"], unroll=cfg.scan_unroll)
+        x, _ = jax.lax.scan(step, x, params["enc_blocks"], unroll=cfg.scan_unroll)
     x = layer_norm(params["enc_norm"], x)
     return x.astype(jnp.float32), pos
 
@@ -289,21 +306,37 @@ def decode(params, cfg: ModelConfig, feat1, pos1, feat2, pos2):
     rope1 = rope2d_tables(pos1, cfg.head_dim_dec, cfg.rope_base)
     rope2 = rope2d_tables(pos2, cfg.head_dim_dec, cfg.rope_base)
 
-    blocks = {"b1": params["dec_blocks"], "b2": params["dec_blocks2"]}
+    if cfg.dec_loop == "python":
+        l1, l2 = [], []
+        for i in range(cfg.dec_depth):
+            b1 = jax.tree.map(lambda a: a[i], params["dec_blocks"])
+            b2 = jax.tree.map(lambda a: a[i], params["dec_blocks2"])
+            nf1 = decoder_block(
+                b1, f1, f2, rope1, rope2, cfg.dec_num_heads, cfg.attn_impl
+            )
+            nf2 = decoder_block(
+                b2, f2, f1, rope2, rope1, cfg.dec_num_heads, cfg.attn_impl
+            )
+            f1, f2 = nf1, nf2
+            l1.append(nf1)
+            l2.append(nf2)
+        ys1, ys2 = l1, l2  # list-indexed below exactly like the scanned stack
+    else:
+        blocks = {"b1": params["dec_blocks"], "b2": params["dec_blocks2"]}
 
-    def step(carry, bp):
-        f1, f2 = carry
-        nf1 = decoder_block(
-            bp["b1"], f1, f2, rope1, rope2, cfg.dec_num_heads, cfg.attn_impl
-        )
-        nf2 = decoder_block(
-            bp["b2"], f2, f1, rope2, rope1, cfg.dec_num_heads, cfg.attn_impl
-        )
-        return (nf1, nf2), (nf1, nf2)
+        def step(carry, bp):
+            f1, f2 = carry
+            nf1 = decoder_block(
+                bp["b1"], f1, f2, rope1, rope2, cfg.dec_num_heads, cfg.attn_impl
+            )
+            nf2 = decoder_block(
+                bp["b2"], f2, f1, rope2, rope1, cfg.dec_num_heads, cfg.attn_impl
+            )
+            return (nf1, nf2), (nf1, nf2)
 
-    (_, _), (ys1, ys2) = jax.lax.scan(
-        step, (f1, f2), blocks, unroll=cfg.scan_unroll
-    )
+        (_, _), (ys1, ys2) = jax.lax.scan(
+            step, (f1, f2), blocks, unroll=cfg.scan_unroll
+        )
 
     # hooks [0, 6, 9, 12] over [enc, blk1..blk12]; only the last is dec-normed
     h6_1, h9_1 = ys1[5].astype(jnp.float32), ys1[8].astype(jnp.float32)
