@@ -81,8 +81,10 @@ class ModelConfig:
                                    # leading-axis slices reads them in place
                                    # (enc 6.5 -> 5.2 ms, all A/B rounds,
                                    # scripts/microbench_pyloop.py)
-    dec_loop: str = "scan"         # decoder blocks are 768-dim (weights 3x
-                                   # smaller); python loop measured a wash
+    dec_loop: str = "python"       # python loop wins ~0.6 ms avg in the full
+                                   # dec+heads program (weight copies again;
+                                   # smaller effect than the encoder's —
+                                   # 768-dim weights are 3x smaller)
     attn_impl: str = "xla"         # "xla" | "fused" (Pallas on-chip softmax;
                                    # same f32-softmax numerics, no HBM logits)
 
