@@ -13,7 +13,7 @@ TPU-native re-design of the reference CUDA matchers
 
 * ``refine_matches`` (matching_kernels.cu:26-81): coarse-to-fine local
   descriptor argmax.  Per dilation level, the whole 7x7 dilated window of
-  every pixel is ONE row of a pre-packed (H*W, 49*F) bf16 table -> one
+  every pixel is ONE row of a pre-packed (H*W, 49*F) int8 table -> one
   N-row gather + one einsum + argmax per level.
 
 Rationale: measured on TPU v5e, XLA row-gather costs ~8 ns/row nearly
@@ -142,6 +142,22 @@ def pinhole_init(rays_img, pts3d_norm):
     return jnp.stack([u, v], axis=-1)
 
 
+def _cumsum_doubling(x):
+    """Inclusive cumsum over the last axis via log2(N) shift-adds.
+
+    XLA's native cumsum lowers to a sequential scan on TPU (profiled ~0.9 ms
+    at N=196608 inside _track_compute); 18 shift-add passes over the same
+    array are pure VPU streaming.
+    """
+    n = x.shape[-1]
+    s = 1
+    while s < n:
+        shifted = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(s, 0)])[..., :n]
+        x = x + shifted
+        s *= 2
+    return x
+
+
 def _compact_unconverged(conv, budget: int):
     """Indices of ``budget`` pixels per batch row, every unconverged pixel
     first (in index order), converged low-index pixels as filler.
@@ -155,7 +171,7 @@ def _compact_unconverged(conv, budget: int):
     """
     B, N = conv.shape
     unconv = (~conv).astype(jnp.int32)
-    rank = jnp.cumsum(unconv, axis=-1) - 1
+    rank = _cumsum_doubling(unconv) - 1
     pos = jnp.where(unconv == 1, rank, budget)  # budget == out-of-bounds
     idxs = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
     base = jnp.broadcast_to(jnp.arange(budget, dtype=jnp.int32), (B, budget))
@@ -335,6 +351,24 @@ def iter_proj(
 # refine_matches
 # ---------------------------------------------------------------------------
 
+_SCORE_MIN = jnp.iinfo(jnp.int32).min
+
+
+def _window_scores(cand_q, d21_q):
+    """(B, N, K, F) int8 x (B, N, F) int8 -> (B, N, K) int32 exact scores.
+
+    An integer dot keeps the quantised products exact (deterministic argmax;
+    the earlier bf16 product path rounded ~0.2%) and, measured on v5e, XLA
+    materialised the bf16 path's (N, K, F) f32 product tensor (~57 MB per
+    strip level in the device profile) where the i32 reduce fuses.
+    """
+    return jax.lax.dot_general(
+        cand_q, d21_q,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )
+
+
 @partial(jax.jit, static_argnames=("radius", "dilation_max"))
 def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
     """Coarse-to-fine descriptor argmax around projected pixels.
@@ -345,7 +379,7 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
     Returns refined integer positions (B, N, 2) int32.
 
     Per level the (2r+1)^2 dilated window of every source pixel is packed
-    into one (H*W, 49*F) bf16 table row (49 static shifted slices of the
+    into one (H*W, 49*F) int8 table row (49 static shifted slices of the
     zero-padded image), so each level costs ONE N-row gather + one einsum.
     Outside-image candidates are masked to -inf exactly as the CUDA kernel
     does (matching_kernels.cu:50-58).
@@ -363,7 +397,6 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
 
     u0 = p1[..., 0].astype(jnp.int32)
     v0 = p1[..., 1].astype(jnp.int32)
-    min_score = -jnp.inf
     doff = jnp.arange(diam, dtype=jnp.int32) - radius  # (-r..r)
 
     max_rd = radius * dilation_max
@@ -382,15 +415,7 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
         idx = v0 * W + u0
         rows = jnp.take_along_axis(table, idx[..., None], axis=1)
         cand = rows.reshape(B, -1, ncand, F)
-        # bf16 products (f32 accumulate): ~0.2% relative score error, under
-        # the int8 quantisation noise and comparable to the reference's fp16
-        # (matching.py:79); measured ~25% faster per level than an i32 dot.
-        scores = jnp.einsum(
-            "bnkf,bnf->bnk",
-            cand.astype(jnp.bfloat16),
-            D21q.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+        scores = _window_scores(cand, D21q)
 
         uu = u0[..., None] + doff[None, None, :] * d  # (B, N, diam)
         vv = v0[..., None] + doff[None, None, :] * d
@@ -398,7 +423,7 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
             ((vv >= 0) & (vv < H))[..., :, None]
             & ((uu >= 0) & (uu < W))[..., None, :]
         ).reshape(B, -1, ncand)
-        scores = jnp.where(inside, scores, min_score)
+        scores = jnp.where(inside, scores, _SCORE_MIN)
 
         k = jnp.argmax(scores, axis=-1)
         ky = k // diam - radius
@@ -470,12 +495,7 @@ def _refine_coarse_subset(Dpad, D21q, u0, v0, H, W, max_rd, radius, dilations):
         idx = vp * W + u0[..., None]
         rows = jnp.take_along_axis(table, idx.reshape(B, -1)[..., None], axis=1)
         cand = rows.reshape(B, -1, ncand, F)  # dy-major, matching k decode
-        scores = jnp.einsum(
-            "bnkf,bnf->bnk",
-            cand.astype(jnp.bfloat16),
-            D21q.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+        scores = _window_scores(cand, D21q)
 
         uu = u0[..., None] + doff[None, None, :] * d
         vv = v0[..., None] + doff[None, None, :] * d
@@ -483,7 +503,7 @@ def _refine_coarse_subset(Dpad, D21q, u0, v0, H, W, max_rd, radius, dilations):
             ((vv >= 0) & (vv < H))[..., :, None]
             & ((uu >= 0) & (uu < W))[..., None, :]
         ).reshape(B, -1, ncand)
-        scores = jnp.where(inside, scores, -jnp.inf)
+        scores = jnp.where(inside, scores, _SCORE_MIN)
 
         k = jnp.argmax(scores, axis=-1)
         u0 = u0 + (k % diam - radius) * d
