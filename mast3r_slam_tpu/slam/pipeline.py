@@ -103,11 +103,20 @@ class SLAM:
 
     # ------------------------------------------------------------------
 
-    def ingest_rgb(self, frame_id: int, timestamp: str, rgb01: np.ndarray,
-                   T_WC_init=None) -> Frame:
-        """Resize + normalise + encode one RGB frame (create_frame,
-        frame.py:111-122)."""
-        r = resize_img(rgb01, 512)
+    @staticmethod
+    def preprocess(rgb01: np.ndarray) -> dict:
+        """Resize + normalise one RGB frame on the host (create_frame,
+        frame.py:111-122).  Uses the native threaded Lanczos path when the
+        library is built; pure host work, safe to run on a prefetch thread."""
+        from ..utils import native
+        if native.available():
+            return native.resize_img_native(rgb01, 512)
+        return resize_img(rgb01, 512)
+
+    def ingest_rgb(self, frame_id: int, timestamp: str, rgb01: np.ndarray = None,
+                   T_WC_init=None, pre: dict = None) -> Frame:
+        """Encode one RGB frame (optionally already preprocessed)."""
+        r = pre if pre is not None else self.preprocess(rgb01)
         img = jnp.asarray(r["img"])[None]  # (1, 3, h, w)
         feat, pos = self.model.encode(img)
         T = T_WC_init if T_WC_init is not None else sim3.identity()
@@ -206,11 +215,13 @@ class SLAM:
         self.keyframes.pop_last()
         return False
 
-    def process_frame(self, frame_id: int, timestamp: str, rgb01: np.ndarray,
-                      last_T_WC=None):
+    def process_frame(self, frame_id: int, timestamp: str, rgb01: np.ndarray = None,
+                      last_T_WC=None, pre: dict = None):
         """Advance the mode machine by one frame (main.py:233-310)."""
         with self.timer.time("ingest+encode"):
-            frame = self.ingest_rgb(frame_id, timestamp, rgb01, T_WC_init=last_T_WC)
+            frame = self.ingest_rgb(
+                frame_id, timestamp, rgb01, T_WC_init=last_T_WC, pre=pre
+            )
 
         if self.mode == Mode.INIT:
             X, C = self.model.mono(frame.feat, frame.pos)
@@ -266,12 +277,14 @@ class SLAM:
         last_T = None
         t0 = time.time()
 
-        # overlap host-side decode/undistort with device compute
+        # overlap host-side decode/undistort AND resize/normalise with
+        # device compute (the Lanczos resize is several ms of host work)
         fetch_q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
 
         def fetch():
             for i in range(n):
-                fetch_q.put((i, dataset[i]))
+                timestamp, img = dataset[i]
+                fetch_q.put((i, timestamp, self.preprocess(img)))
             fetch_q.put(None)
 
         fetcher = threading.Thread(target=fetch, daemon=True)
@@ -280,8 +293,8 @@ class SLAM:
             item = fetch_q.get()
             if item is None:
                 break
-            i, (timestamp, img) = item
-            frame = self.process_frame(i, timestamp, img, last_T_WC=last_T)
+            i, timestamp, pre = item
+            frame = self.process_frame(i, timestamp, last_T_WC=last_T, pre=pre)
             last_T = frame.T_WC
             if verbose and i % 30 == 0 and i > 0:
                 fps = i / (time.time() - t0)
