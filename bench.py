@@ -97,7 +97,7 @@ def main():
             kf_X, kf_C, jnp.asarray(1, jnp.int32),
             T_WCf, T_WCk, idx_init, K,
         )
-        return out["T_WCf"], out["match_frac"], out["idx_f2k"]
+        return out["T_WCf"], out["stats"], out["idx_f2k"]
 
     args = (params, img, kf_feat, kf_pos, kf_X, kf_C, T_id, T_id, idx0)
 

@@ -211,6 +211,18 @@ def _track_compute(
     hit = jnp.zeros((N,), dtype=jnp.float32).at[idx_hit].set(1.0, mode="drop")
     unique_frac_f = jnp.sum(hit) / N
 
+    # decision scalars packed into ONE tiny array: the host reads them with
+    # a single transfer instead of five (each lazy scalar fetch is a full
+    # device round-trip)
+    stats = jnp.stack([
+        match_frac,
+        match_frac_k,
+        unique_frac_f,
+        ok.astype(jnp.float32),
+        frame_n_fused.astype(jnp.float32),
+        cost,
+    ])
+
     return dict(
         idx_f2k=idx_f2k,
         frame_X=frame_X,
@@ -220,11 +232,7 @@ def _track_compute(
         kf_C=kC,
         kf_n_fused=kn,
         T_WCf=T_WCf_new,
-        match_frac=match_frac,
-        match_frac_k=match_frac_k,
-        unique_frac_f=unique_frac_f,
-        gn_ok=ok,
-        cost=cost,
+        stats=stats,
     )
 
 
@@ -275,21 +283,25 @@ class FrameTracker:
 
         self.idx_f2k = out["idx_f2k"]
 
+        import numpy as np
+
+        match_frac, match_frac_k, unique_frac_f, gn_ok, n_fused, _ = np.asarray(
+            out["stats"]
+        )
+
         # low overlap -> relocalise (tracker.py:66-70);
         # GN/Cholesky failure -> skip frame (tracker.py:91-93)
-        if float(out["match_frac"]) < self.ts.min_match_frac or not bool(out["gn_ok"]):
+        if match_frac < self.ts.min_match_frac or not gn_ok:
             return False, True
 
         # commit frame + keyframe state
         frame.X_canon = out["frame_X"]
         frame.C = out["frame_C"]
-        frame.n_fused = int(out["frame_n_fused"])
+        frame.n_fused = int(n_fused)
         frame.T_WC = out["T_WCf"]
         kf.update_pointmap(kf_idx, out["kf_X"], out["kf_C"], out["kf_n_fused"])
 
-        new_kf = min(float(out["match_frac_k"]), float(out["unique_frac_f"])) < (
-            self.ts.match_frac_thresh
-        )
+        new_kf = min(match_frac_k, unique_frac_f) < self.ts.match_frac_thresh
         if new_kf:
             self.reset_idx_f2k()
         return new_kf, False

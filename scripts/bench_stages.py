@@ -102,7 +102,7 @@ def main(stages):
                     kf_X, kf_C, jnp.asarray(1, jnp.int32),
                     T_WCf, T_WCk, idx_init, K,
                 )
-                return out["T_WCf"], out["match_frac"], out["idx_f2k"]
+                return out["T_WCf"], out["stats"], out["idx_f2k"]
 
             dt = timeit(frame_step, params, img, kf_feat, kf_pos, kf_X, kf_C, T_id, T_id, idx0)
             print(f"full frame {name}:  {dt*1e3:8.2f} ms ({1.0/dt:.2f} fps)", flush=True)
