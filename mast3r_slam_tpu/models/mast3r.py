@@ -451,8 +451,19 @@ def inference_symmetric(params, cfg: ModelConfig, feat_i, pos_i, feat_j, pos_j,
 @partial(jax.jit, static_argnames=("cfg", "grid_hw"))
 def inference_mono(params, cfg: ModelConfig, feat, pos, grid_hw):
     """(I, I) decoder pass for canonical pointmap init/reloc
-    (mast3r_utils.py:118-139)."""
-    (Xii, Cii, _, _), _ = _decode_and_heads(
-        params, cfg, feat, pos, feat, pos, grid_hw
-    )
-    return Xii, Cii
+    (mast3r_utils.py:118-139).
+
+    Only the pointmap + confidence are consumed (mast3r_utils.py:135-139),
+    so the local-descriptor MLP head (the costliest single op in dec+heads)
+    and the second view's heads are skipped — identical X, C.
+    """
+    hooks1, _ = decode(params, cfg, feat, pos, feat, pos)
+    hd = cfg.head_dtype
+    pts_conf = dpt_mod.dpt_forward(
+        params["head1"]["dpt"], [t.astype(hd) for t in hooks1], grid_hw, 4
+    ).astype(jnp.float32)
+    xyz = pts_conf[..., 0:3]
+    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    X = xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
+    C = cfg.conf_offset + jnp.exp(pts_conf[..., 3])
+    return X, C
