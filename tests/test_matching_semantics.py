@@ -335,3 +335,15 @@ def test_iter_proj_extra_img_is_exact_tl_lookup(rng):
         lin = p[..., 0].astype(np.int64) + W * p[..., 1].astype(np.int64)
         want = X.reshape(1, -1, 3)[0, lin[0]]
         np.testing.assert_array_equal(np.asarray(x_at)[0], want)
+
+
+def test_cumsum_doubling_matches_jnp(rng):
+    """_cumsum_doubling is a hand-rolled primitive (XLA's cumsum lowers to a
+    sequential scan on TPU); pin it to jnp.cumsum over awkward shapes."""
+    import jax.numpy as jnp
+
+    for n in (1, 2, 3, 127, 128, 1000, 4096):
+        x = jnp.asarray(rng.integers(0, 3, (2, n)), jnp.int32)
+        got = matching._cumsum_doubling(x)
+        want = jnp.cumsum(x, axis=-1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
