@@ -152,3 +152,29 @@ def test_factor_graph_edge_growth():
     assert slam.graph.n_edges > 2
     assert slam.graph.capacity >= slam.graph.n_edges
     assert result.n_keyframes >= 2
+
+
+def test_calib_mode_tracks():
+    """Full engine in CALIBRATED mode (use_calib=True): the pixel+log-depth
+    tracker objective (opt_pose_calib_sim3, reference tracker.py:216-266),
+    constrain_points_to_ray, and the calib BA variant must recover the same
+    trajectory as the ray-distance path."""
+    scene = PlaneScene(HW)
+    gt = arc_trajectory(N_FRAMES, radius=0.6, max_angle=2.5)
+    model = OracleModel(scene, gt, noise=0.002)
+    cfg = load_config("base")
+    cfg["use_calib"] = True
+    cfg["engine"]["keyframe_buffer"] = 64
+    cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True
+    slam = SLAM(model, cfg, HW, K=scene.K)
+    result = slam.run(OracleDataset(N_FRAMES, HW), verbose=False)
+
+    assert result.n_reloc == 0
+    assert result.n_keyframes >= 2
+    est = result.frame_poses[:, :3]
+    gt_t = gt[:, :3]
+    s, R, t = umeyama_alignment(est, gt_t)
+    aligned = (s * (R @ est.T)).T + t
+    ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt_t, axis=-1) ** 2)))
+    assert ate < 0.04, f"calib-mode frame ATE {ate:.4f} too high"
