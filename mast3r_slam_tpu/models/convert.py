@@ -162,11 +162,22 @@ def torch_state_dict_to_params(
 
     def head(i):
         hp = f"downstream_head{i}"
+        fc2 = _linear(sd, hp + ".head_local_features.fc2")
+        # permute fc2 output columns from torch pixel_shuffle channel-major
+        # order o=(c,py,px) to pixel-major n=(py,px,c) — the layout
+        # _pixel_shuffle_tokens un-shuffles with contiguous runs (exact:
+        # column permutation of an output layer). C inferred from the
+        # checkpoint itself: out_feat = (desc_dim + 1) * P * P.
+        P = cfg.patch_size
+        C = fc2["w"].shape[1] // (P * P)
+        perm = (np.arange(C)[None, :] * P * P
+                + np.arange(P * P)[:, None]).reshape(-1)
+        fc2 = {"w": fc2["w"][:, perm], "b": fc2["b"][perm]}
         return {
             "dpt": _dpt(sd, hp),
             "local_mlp": {
                 "fc1": _linear(sd, hp + ".head_local_features.fc1"),
-                "fc2": _linear(sd, hp + ".head_local_features.fc2"),
+                "fc2": fc2,
             },
         }
 

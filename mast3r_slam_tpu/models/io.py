@@ -18,6 +18,12 @@ import numpy as np
 
 _SEP = "/"
 
+# Bump whenever the converted layout changes incompatibly. v2: local_mlp fc2
+# output columns stored pixel-major (py,px,c) — see models/convert.py; a v1
+# npz loaded into v2 code would silently scramble descriptors.
+_FORMAT_VERSION = 2
+_VERSION_KEY = "__format_version__"
+
 
 def _flatten(params):
     flat = {}
@@ -41,13 +47,24 @@ def _flatten(params):
 def save_params(path, params) -> None:
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **_flatten(params))
+    flat = _flatten(params)
+    flat[_VERSION_KEY] = np.asarray(_FORMAT_VERSION)
+    np.savez(path, **flat)
 
 
 def load_params(path):
     data = np.load(path)
+    version = int(data[_VERSION_KEY]) if _VERSION_KEY in data.files else 1
+    if version != _FORMAT_VERSION:
+        raise ValueError(
+            f"{path}: converted-checkpoint format v{version}, this build "
+            f"expects v{_FORMAT_VERSION} — re-run tools/convert_checkpoint.py "
+            "on the original .pth"
+        )
     tree: dict = {}
     for key in data.files:
+        if key == _VERSION_KEY:
+            continue
         parts = key.split(_SEP)
         node = tree
         for p in parts[:-1]:

@@ -353,15 +353,21 @@ def decode(params, cfg: ModelConfig, feat1, pos1, feat2, pos2):
 # ---------------------------------------------------------------------------
 
 def _pixel_shuffle_tokens(tok, grid_hw, P: int, C: int):
-    """(B, N, C*P*P) channel-major tokens -> (B, H, W, C) pixel map.
+    """(B, N, P*P*C) pixel-major tokens -> (B, H, W, C) pixel map.
 
-    Matches torch F.pixel_shuffle after the (B,S,D)->(B,D,h,w) reshape
-    (catmlp_dpt_head.py:78-81).
+    Semantics of torch F.pixel_shuffle after the (B,S,D)->(B,D,h,w) reshape
+    (catmlp_dpt_head.py:78-81), but with the fc2 output columns stored in
+    (py, px, c) order instead of torch's channel-major (c, py, px): the
+    un-shuffle transpose then moves contiguous P*C-element runs instead of
+    gathering stride-P*P scalars (~0.6 ms/frame on v5e,
+    scripts/microbench_shuffle.py). The checkpoint converter permutes fc2's
+    columns to match (models/convert.py), which is numerically exact — each
+    fc2 output column is an independent dot product.
     """
     nh, nw = grid_hw
     B, N, _ = tok.shape
-    x = tok.reshape(B, nh, nw, C, P, P)
-    x = x.transpose(0, 1, 4, 2, 5, 3)  # (B, nh, P, nw, P, C)
+    x = tok.reshape(B, nh, nw, P, P, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, nh, P, nw, P, C)
     return x.reshape(B, nh * P, nw * P, C)
 
 

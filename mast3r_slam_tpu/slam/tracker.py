@@ -207,6 +207,10 @@ def _track_compute(
     # invalid rows is exactly scatter-max of the 0/1 validity and measured
     # ~30% cheaper (scripts/microbench_scatter.py).
     match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
+    # A strided-subset estimate of this scatter is a measured dead end: no
+    # time win (the strided index read costs what the smaller scatter
+    # saves) and the subsample heavily overestimates uniqueness under
+    # collisions (scripts/microbench_unique.py, 2026-08-20).
     idx_hit = jnp.where(valid_match[:, 0], idx_f2k, N)
     hit = jnp.zeros((N,), dtype=jnp.float32).at[idx_hit].set(1.0, mode="drop")
     unique_frac_f = jnp.sum(hit) / N
