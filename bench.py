@@ -94,7 +94,9 @@ def main():
             ts, (H, W),
             Xii, Cii, Dii, Qii, Xji, Cji, Dji, Qji,
             Xii.reshape(N, 3), Cii.reshape(N, 1), jnp.asarray(1, jnp.int32),
+            jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32),
             kf_X, kf_C, jnp.asarray(1, jnp.int32),
+            jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32),
             T_WCf, T_WCk, idx_init, K,
         )
         return out["T_WCf"], out["stats"], out["idx_f2k"]

@@ -169,6 +169,12 @@ def torch_state_dict_to_params(
         # column permutation of an output layer). C inferred from the
         # checkpoint itself: out_feat = (desc_dim + 1) * P * P.
         P = cfg.patch_size
+        if fc2["w"].shape[1] % (P * P) != 0:
+            raise ValueError(
+                f"{hp}.head_local_features.fc2 out_features "
+                f"{fc2['w'].shape[1]} is not a multiple of patch_size^2 "
+                f"({P * P}); checkpoint/config mismatch"
+            )
         C = fc2["w"].shape[1] // (P * P)
         perm = (np.arange(C)[None, :] * P * P
                 + np.arange(P * P)[:, None]).reshape(-1)

@@ -157,7 +157,7 @@ class DeviceIVF:
         every add has an identical static shape.
         """
         m = agg_packed.shape[0]
-        assert self.n_entries + m <= self.s.capacity, "IVF capacity exceeded"
+        self._ensure_capacity(self.n_entries + m, imid)
         if imid is None:
             imid = self.n_images
         assert imid < self.s.max_images
@@ -172,6 +172,33 @@ class DeviceIVF:
         )
         self.n_entries += m
         self.n_images = max(self.n_images, imid + 1)
+
+    def _ensure_capacity(self, needed_entries: int, imid=None):
+        """Overflow policy: the flat entry array and the per-image norm table
+        double (pow2 — the jitted search recompiles once per doubling) instead
+        of asserting; long-video ingest can exceed the initial 512-keyframe
+        sizing (cf. the reference's fixed grow-lists, inverted_file.py:40-53).
+        """
+        s = self.s
+        cap = s.capacity
+        while cap < needed_entries:
+            cap *= 2
+        if cap != s.capacity:
+            pad = cap - s.capacity
+            self.vecs = jnp.pad(self.vecs, ((0, pad), (0, 0)))
+            self.word_ids = jnp.pad(self.word_ids, (0, pad), constant_values=-1)
+            self.image_ids = jnp.pad(self.image_ids, (0, pad), constant_values=-1)
+            s = s._replace(capacity=cap)
+        need_img = (imid + 1) if imid is not None else (self.n_images + 1)
+        mi = s.max_images
+        while mi < need_img:
+            mi *= 2
+        if mi != s.max_images:
+            self.norm_factor = jnp.pad(
+                self.norm_factor, (0, mi - s.max_images)
+            )
+            s = s._replace(max_images=mi)
+        self.s = s
 
     def search(self, agg_packed, q_words, q_valid):
         """Score all images against one query (inverted_file.py:86-107).

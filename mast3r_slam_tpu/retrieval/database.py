@@ -87,15 +87,13 @@ class RetrievalDatabase:
         sel = extract_topk_features(self.head_params, feat, self.hs)
         return sel[0]
 
-    def update(self, frame, add_after_query: bool, k: int,
-               min_thresh: float = 0.0, kf_index: Optional[int] = None
-               ) -> List[int]:
-        """Query (if non-empty) then optionally add (retrieval_database.py:43-71).
+    def query(self, frame, k: int, min_thresh: float = 0.0):
+        """Query the IVF for loop-closure candidates.
 
-        `kf_index` is the id the added image is stored under (pass the
-        keyframe index so results are keyframe indices even when adds happen
-        out of append order, e.g. async reloc); defaults to a running counter.
-        Returns ids of the top-k matching database images above thresh.
+        Returns (inds, precomputed) where `precomputed` is the (features,
+        quantized codes) pair — pass it to :meth:`add` to store the same
+        frame without re-extracting/re-quantizing (the reloc path queries
+        first and adds only on success, main.py:33-57).
         """
         feats = self._features(frame.feat)
         m = feats.shape[0]
@@ -113,9 +111,21 @@ class RetrievalDatabase:
             kk = min(k, self.ivf.n_images)
             top = np.argsort(-scores_np)[:kk]
             inds = [int(i) for i in top if scores_np[i] > min_thresh]
+        return inds, (feats, q_codes)
 
+    def update(self, frame, add_after_query: bool, k: int,
+               min_thresh: float = 0.0, kf_index: Optional[int] = None
+               ) -> List[int]:
+        """Query (if non-empty) then optionally add (retrieval_database.py:43-71).
+
+        `kf_index` is the id the added image is stored under (pass the
+        keyframe index so results are keyframe indices even when adds happen
+        out of append order, e.g. async reloc); defaults to a running counter.
+        Returns ids of the top-k matching database images above thresh.
+        """
+        inds, pre = self.query(frame, k, min_thresh)
         if add_after_query:
-            self.add(frame, precomputed=(feats, q_codes), kf_index=kf_index)
+            self.add(frame, precomputed=pre, kf_index=kf_index)
         return inds
 
     def add(self, frame, precomputed=None, kf_index: Optional[int] = None):

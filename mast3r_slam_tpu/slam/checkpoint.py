@@ -17,7 +17,7 @@ import numpy as np
 from .frame import Mode
 
 
-CHECKPOINT_VERSION = 1
+CHECKPOINT_VERSION = 2
 
 
 def save_state(path, slam) -> None:
@@ -36,6 +36,8 @@ def save_state(path, slam) -> None:
         kf_X=np.asarray(kf.X[:n]),
         kf_C=np.asarray(kf.C[:n]),
         kf_n_fused=np.asarray(kf.n_fused[:n]),
+        kf_n_updates=np.asarray(kf.n_updates[:n]),
+        kf_score=np.asarray(kf.score[:n]),
         kf_feat=np.asarray(kf.feat[:n]),
         kf_pos=np.asarray(kf.pos[:n]),
         # factor graph
@@ -53,6 +55,20 @@ def save_state(path, slam) -> None:
     uimgs = [u for u in kf.uimgs[:n]]
     if all(u is not None for u in uimgs) and n > 0:
         arrays["kf_uimg"] = np.stack(uimgs)
+    # retrieval IVF + counters — required so a resumed session can still
+    # loop-close / relocalise against pre-checkpoint keyframes.  The head
+    # params and codebook are model weights, reloaded at construction.
+    rdb = getattr(slam, "retrieval", None)
+    if rdb is not None:
+        ne = rdb.ivf.n_entries
+        arrays.update(
+            ivf_vecs=np.asarray(rdb.ivf.vecs[:ne]),
+            ivf_word_ids=np.asarray(rdb.ivf.word_ids[:ne]),
+            ivf_image_ids=np.asarray(rdb.ivf.image_ids[:ne]),
+            ivf_norm_factor=np.asarray(rdb.ivf.norm_factor),
+            ivf_n_images=np.asarray(rdb.ivf.n_images),
+            retrieval_kf_counter=np.asarray(rdb.kf_counter),
+        )
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **arrays)
@@ -61,14 +77,15 @@ def save_state(path, slam) -> None:
 def load_state(path, slam) -> None:
     """Restore a checkpoint into an engine built with compatible shapes."""
     data = np.load(path, allow_pickle=False)
-    assert int(data["version"]) == CHECKPOINT_VERSION
+    assert int(data["version"]) <= CHECKPOINT_VERSION
     assert tuple(data["img_hw"]) == tuple(slam.img_hw), "image size mismatch"
 
     kf = slam.keyframes
     g = slam.graph
     n = len(data["kf_frame_id"])
     E = len(data["edge_ii"])
-    assert n <= kf.capacity and E <= g.capacity
+    kf._ensure_capacity(n)
+    g._ensure_capacity(E)
 
     kf.n = n
     kf.frame_id[:n] = data["kf_frame_id"]
@@ -76,6 +93,11 @@ def load_state(path, slam) -> None:
     kf.X = kf.X.at[:n].set(jnp.asarray(data["kf_X"]))
     kf.C = kf.C.at[:n].set(jnp.asarray(data["kf_C"]))
     kf.n_fused = kf.n_fused.at[:n].set(jnp.asarray(data["kf_n_fused"]))
+    if "kf_n_updates" in data:
+        kf.n_updates = kf.n_updates.at[:n].set(jnp.asarray(data["kf_n_updates"]))
+        kf.score = kf.score.at[:n].set(jnp.asarray(data["kf_score"]))
+    else:  # v1 checkpoints predate fusion-state threading
+        kf.n_updates = kf.n_updates.at[:n].set(jnp.asarray(data["kf_n_fused"]))
     kf.feat = kf.feat.at[:n].set(jnp.asarray(data["kf_feat"]))
     kf.pos = kf.pos.at[:n].set(jnp.asarray(data["kf_pos"]))
     if "K" in data:
@@ -93,5 +115,22 @@ def load_state(path, slam) -> None:
     g.valid_match_i = g.valid_match_i.at[:E].set(jnp.asarray(data["edge_valid_i"]))
     g.Q_ii2jj = g.Q_ii2jj.at[:E].set(jnp.asarray(data["edge_Q_ii2jj"]))
     g.Q_jj2ii = g.Q_jj2ii.at[:E].set(jnp.asarray(data["edge_Q_jj2ii"]))
+
+    rdb = getattr(slam, "retrieval", None)
+    if rdb is not None and "ivf_vecs" in data:
+        ivf = rdb.ivf
+        ne = len(data["ivf_vecs"])
+        assert ne <= ivf.s.capacity, "IVF capacity too small for checkpoint"
+        ivf.vecs = ivf.vecs.at[:ne].set(jnp.asarray(data["ivf_vecs"]))
+        ivf.word_ids = ivf.word_ids.at[:ne].set(jnp.asarray(data["ivf_word_ids"]))
+        ivf.image_ids = ivf.image_ids.at[:ne].set(
+            jnp.asarray(data["ivf_image_ids"])
+        )
+        nf = jnp.asarray(data["ivf_norm_factor"])
+        assert nf.shape[0] <= ivf.norm_factor.shape[0]
+        ivf.norm_factor = ivf.norm_factor.at[: nf.shape[0]].set(nf)
+        ivf.n_entries = ne
+        ivf.n_images = int(data["ivf_n_images"])
+        rdb.kf_counter = int(data["retrieval_kf_counter"])
 
     slam.mode = Mode(int(data["mode"]))

@@ -32,39 +32,80 @@ class Mode(IntEnum):
 # pointmap fusion (frame.py:41-108)
 # ---------------------------------------------------------------------------
 
-def fuse_pointmap(X, C, n_fused, X_new, C_new, mode: str = "weighted_pointmap",
-                  score: Optional[jnp.ndarray] = None,
-                  score_mode: str = "median"):
-    """One fusion step of a canonical pointmap.
+FILTERING_MODES = (
+    "first", "recent", "best_score", "indep_conf",
+    "weighted_pointmap", "weighted_spherical",
+)
 
-    X, X_new: (N, 3); C, C_new: (N, 1); n_fused: scalar count.
-    Returns (X', C', n_fused', score').  ``first`` keeps the original,
-    ``recent`` replaces, ``indep_conf`` picks the higher-confidence pixel,
-    ``weighted_pointmap`` does confidence-weighted averaging (default),
-    ``weighted_spherical`` averages in (r, phi, theta), ``best_score``
-    keeps the map whose aggregate confidence is larger.
+
+def pointmap_score(C_new, score_mode: str = "median"):
+    """Aggregate confidence score for ``best_score`` fusion (frame.py:33-38)."""
+    if score_mode == "median":
+        return jnp.median(C_new)
+    if score_mode == "mean":
+        return jnp.mean(C_new)
+    raise ValueError(f"unknown filtering_score {score_mode}")
+
+
+def fuse_pointmap(X, C, n_fused, n_updates, X_new, C_new, score=None,
+                  mode: str = "weighted_pointmap", score_mode: str = "median"):
+    """One fusion step of a canonical pointmap — jit-safe for every mode.
+
+    X, X_new: (N, 3); C, C_new: (N, 1); n_fused / n_updates: scalar int32
+    counts (the reference's ``N`` / ``N_updates``, frame.py:29-30); score:
+    scalar f32 (``-inf`` when unused).  Returns
+    (X', C', n_fused', n_updates', score').
+
+    Reference semantics mirrored exactly (frame.py:41-105): the very first
+    observation (``n_updates == 0``) always installs the new map; thereafter
+    ``first`` replaces once more on the SECOND observation then freezes,
+    ``recent`` always replaces, ``best_score`` replaces when the new map's
+    aggregate confidence beats the stored score, ``indep_conf`` picks the
+    higher-confidence pixel (and resets N to 1), ``weighted_pointmap``
+    confidence-weight-averages, ``weighted_spherical`` averages in
+    (r, phi, theta).
     """
+    n_fused = jnp.asarray(n_fused, jnp.int32)
+    n_updates = jnp.asarray(n_updates, jnp.int32)
+    if score is None:
+        score = -jnp.inf
+    score = jnp.asarray(score, jnp.float32)
+    one = jnp.ones_like(n_fused)
+
     if mode == "first":
-        return X, C, n_fused, score
-    if mode == "recent":
-        return X_new, C_new, jnp.ones_like(n_fused), score
-    if mode == "indep_conf":
+        # frame.py:53-57: replaces exactly on the second observation
+        take = n_updates == 1
+        Xo = jnp.where(take, X_new, X)
+        Co = jnp.where(take, C_new, C)
+        no = jnp.where(take, one, n_fused)
+        so = score
+    elif mode == "recent":
+        Xo, Co, no, so = X_new, C_new, one, score
+    elif mode == "best_score":
+        new_score = pointmap_score(C_new, score_mode)
+        take = new_score > score
+        Xo = jnp.where(take, X_new, X)
+        Co = jnp.where(take, C_new, C)
+        no = jnp.where(take, one, n_fused)
+        so = jnp.maximum(new_score, score)
+    elif mode == "indep_conf":
         take = C_new > C
-        return (
-            jnp.where(take, X_new, X),
-            jnp.where(take, C_new, C),
-            jnp.ones_like(n_fused),
-            score,
-        )
-    if mode == "weighted_pointmap":
+        Xo = jnp.where(take, X_new, X)
+        Co = jnp.where(take, C_new, C)
+        no = one  # frame.py:73: N = 1 unconditionally
+        so = score
+    elif mode == "weighted_pointmap":
         Xo = (C * X + C_new * X_new) / (C + C_new)
-        return Xo, C + C_new, n_fused + 1, score
-    if mode == "weighted_spherical":
+        Co = C + C_new
+        no = n_fused + 1
+        so = score
+    elif mode == "weighted_spherical":
         def to_sph(P):
             r = jnp.linalg.norm(P, axis=-1, keepdims=True)
             x, y, z = P[..., 0:1], P[..., 1:2], P[..., 2:3]
             return jnp.concatenate(
-                [r, jnp.arctan2(y, x), jnp.arccos(jnp.clip(z / r, -1, 1))], axis=-1
+                [r, jnp.arctan2(y, x),
+                 jnp.arccos(jnp.clip(z / jnp.maximum(r, 1e-12), -1, 1))], axis=-1
             )
 
         def to_cart(s):
@@ -76,17 +117,25 @@ def fuse_pointmap(X, C, n_fused, X_new, C_new, mode: str = "weighted_pointmap",
             )
 
         s = (C * to_sph(X) + C_new * to_sph(X_new)) / (C + C_new)
-        return to_cart(s), C + C_new, n_fused + 1, score
-    if mode == "best_score":
-        agg = jnp.median(C_new) if score_mode == "median" else jnp.mean(C_new)
-        take = agg > score
-        return (
-            jnp.where(take, X_new, X),
-            jnp.where(take, C_new, C),
-            jnp.ones_like(n_fused),
-            jnp.maximum(agg, score),
-        )
-    raise ValueError(f"unknown filtering_mode {mode}")
+        Xo = to_cart(s)
+        Co = C + C_new
+        no = n_fused + 1
+        so = score
+    else:
+        raise ValueError(f"unknown filtering_mode {mode}")
+
+    # first-ever observation installs the new map verbatim (frame.py:44-51)
+    is_init = n_updates == 0
+    init_score = (
+        pointmap_score(C_new, score_mode) if mode == "best_score" else score
+    )
+    return (
+        jnp.where(is_init, X_new, Xo),
+        jnp.where(is_init, C_new, Co),
+        jnp.where(is_init, one, no),
+        n_updates + 1,
+        jnp.where(is_init, init_score, so),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +151,8 @@ class Frame:
     T_WC: jnp.ndarray         # (8,) Sim3
     X_canon: Optional[jnp.ndarray] = None  # (N, 3)
     C: Optional[jnp.ndarray] = None        # (N, 1) summed confidence
-    n_fused: int = 0
+    n_fused: int = 0          # reference `N` (frame.py:29)
+    n_updates: int = 0        # reference `N_updates` (frame.py:30)
     feat: Optional[jnp.ndarray] = None     # (1, P, D) encoder tokens
     pos: Optional[jnp.ndarray] = None      # (1, P, 2)
     K: Optional[jnp.ndarray] = None
@@ -111,19 +161,20 @@ class Frame:
 
     def update_pointmap(self, X_new, C_new, mode="weighted_pointmap",
                         score_mode="median"):
-        if self.n_fused == 0 or self.X_canon is None:
-            self.X_canon, self.C, self.n_fused = X_new, C_new, 1
+        if self.n_updates == 0 or self.X_canon is None:
+            self.X_canon, self.C = X_new, C_new
+            self.n_fused, self.n_updates = 1, 1
             if mode == "best_score":
-                agg = jnp.median(C_new) if score_mode == "median" else jnp.mean(C_new)
-                self.score = agg
+                self.score = float(pointmap_score(C_new, score_mode))
             return
-        X, C, n, score = fuse_pointmap(
-            self.X_canon, self.C, jnp.asarray(self.n_fused), X_new, C_new,
-            mode=mode, score=self.score, score_mode=score_mode,
+        X, C, n, nu, score = fuse_pointmap(
+            self.X_canon, self.C, self.n_fused, self.n_updates, X_new, C_new,
+            score=self.score, mode=mode, score_mode=score_mode,
         )
         self.X_canon, self.C = X, C
         self.n_fused = int(n)
-        self.score = score
+        self.n_updates = int(nu)
+        self.score = float(score)
 
     def average_conf(self):
         return self.C / self.n_fused if self.C is not None else None
@@ -150,6 +201,8 @@ class Keyframes:
         self.X = jnp.zeros((capacity, num_pixels, 3), dtype=dtype)
         self.C = jnp.zeros((capacity, num_pixels, 1), dtype=dtype)
         self.n_fused = jnp.zeros((capacity,), dtype=jnp.int32)
+        self.n_updates = jnp.zeros((capacity,), dtype=jnp.int32)
+        self.score = jnp.full((capacity,), -jnp.inf, dtype=dtype)
         self.feat = jnp.zeros((capacity, num_patches, feat_dim), dtype=dtype)
         self.pos = jnp.zeros((capacity, num_patches, 2), dtype=jnp.int32)
         self.K: Optional[jnp.ndarray] = None
@@ -161,10 +214,41 @@ class Keyframes:
 
     def append(self, frame: Frame) -> int:
         idx = self.n
-        assert idx < self.capacity, "keyframe buffer full"
+        self._ensure_capacity(idx + 1)
         self.set_frame(idx, frame)
         self.n = idx + 1
         return idx
+
+    def _ensure_capacity(self, needed: int):
+        """Overflow policy for long-video ingest: the SoA doubles (pow2, so
+        downstream solve-bucket recompiles stay rare) instead of asserting at
+        the reference's fixed 512-slot cap (frame.py:221)."""
+        if needed <= self.capacity:
+            return
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        pad = new_cap - self.capacity
+
+        def grow(a, fill=0):
+            pad_widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, pad_widths, constant_values=fill)
+
+        self.T_WC = jnp.concatenate(
+            [self.T_WC, jnp.tile(sim3.identity(dtype=self.T_WC.dtype), (pad, 1))]
+        )
+        self.X = grow(self.X)
+        self.C = grow(self.C)
+        self.n_fused = grow(self.n_fused)
+        self.n_updates = grow(self.n_updates)
+        self.score = grow(self.score, fill=-jnp.inf)
+        self.feat = grow(self.feat)
+        self.pos = grow(self.pos)
+        self.frame_id = np.concatenate(
+            [self.frame_id, np.full((pad,), -1, dtype=np.int64)]
+        )
+        self.uimgs = self.uimgs + [None] * pad
+        self.capacity = new_cap
 
     def set_frame(self, idx: int, frame: Frame):
         self.frame_id[idx] = frame.frame_id
@@ -172,6 +256,8 @@ class Keyframes:
         self.X = self.X.at[idx].set(frame.X_canon)
         self.C = self.C.at[idx].set(frame.C)
         self.n_fused = self.n_fused.at[idx].set(frame.n_fused)
+        self.n_updates = self.n_updates.at[idx].set(frame.n_updates)
+        self.score = self.score.at[idx].set(frame.score)
         self.feat = self.feat.at[idx].set(frame.feat[0])
         self.pos = self.pos.at[idx].set(frame.pos[0])
         self.uimgs[idx] = frame.uimg
@@ -184,6 +270,8 @@ class Keyframes:
             X_canon=self.X[idx],
             C=self.C[idx],
             n_fused=int(self.n_fused[idx]),
+            n_updates=int(self.n_updates[idx]),
+            score=float(self.score[idx]),
             feat=self.feat[idx][None],
             pos=self.pos[idx][None],
             K=self.K,
@@ -203,10 +291,15 @@ class Keyframes:
     def update_poses(self, idxs, T_WCs):
         self.T_WC = self.T_WC.at[jnp.asarray(idxs)].set(T_WCs)
 
-    def update_pointmap(self, idx: int, X, C, n_fused):
+    def update_pointmap(self, idx: int, X, C, n_fused, n_updates=None,
+                        score=None):
         self.X = self.X.at[idx].set(X)
         self.C = self.C.at[idx].set(C)
         self.n_fused = self.n_fused.at[idx].set(n_fused)
+        if n_updates is not None:
+            self.n_updates = self.n_updates.at[idx].set(n_updates)
+        if score is not None:
+            self.score = self.score.at[idx].set(score)
 
     def average_conf(self, idx: int):
         return self.C[idx] / jnp.maximum(self.n_fused[idx].astype(self.C.dtype), 1.0)

@@ -38,7 +38,8 @@ class SlamResult:
     frame_poses: np.ndarray  # (F, 8) per-frame poses
     fps: float
     n_keyframes: int
-    n_reloc: int
+    n_reloc: int          # frames spent in RELOC mode
+    n_reloc_success: int  # relocalisations that actually succeeded
 
 
 class SLAM:
@@ -60,13 +61,27 @@ class SLAM:
         if K is not None:
             self.keyframes.K = jnp.asarray(K, dtype=jnp.float32)
         self.tracker = FrameTracker(model, cfg, self.keyframes, img_hw)
+        # engine.mesh: 0/absent = single device; N = shard the backend
+        # (edge-sharded global BA + decode batch) over the first N devices;
+        # "auto" = every visible device.  The frontend tracker stays on one
+        # device — per the reference's split, the backend is the thing that
+        # scales (main.py:74-143 / gn_kernels.cu:1199-1206).
+        self.mesh = None
+        mesh_cfg = cfg["engine"].get("mesh", 0)
+        if mesh_cfg:
+            from ..parallel.mesh import make_mesh
+
+            n_dev = None if mesh_cfg == "auto" else int(mesh_cfg)
+            self.mesh = make_mesh(n_dev)
         self.graph = FactorGraph(
             model, cfg, self.keyframes, img_hw, K=self.keyframes.K,
             edge_capacity=cfg["engine"].get("edge_buffer", 1024),
+            mesh=self.mesh,
         )
         self.retrieval = retrieval  # RetrievalDatabase or None
         self.mode = Mode.INIT
         self.n_reloc = 0
+        self.n_reloc_success = 0
         self.frame_log: List[tuple] = []  # (timestamp, T_WC np (8,))
         self.timer = StageTimer(sync=False)  # per-stage host-side timings
 
@@ -181,9 +196,8 @@ class SLAM:
 
     def _relocalize_locked(self, frame: Frame) -> bool:
         cfg = self.cfg
-        inds = self.retrieval.update(
+        inds, pre = self.retrieval.query(
             frame,
-            add_after_query=False,
             k=cfg["retrieval"]["k"],
             min_thresh=cfg["retrieval"]["min_thresh"],
         )
@@ -201,11 +215,10 @@ class SLAM:
             is_reloc=cfg["reloc"]["strict"],
         )
         if ok:
-            self.retrieval.update(
-                frame, add_after_query=True,
-                k=cfg["retrieval"]["k"], min_thresh=cfg["retrieval"]["min_thresh"],
-                kf_index=kf_idx,
-            )
+            # store under the new keyframe index, reusing the query's
+            # features/codes (the reference re-runs the whole prep,
+            # main.py:56-57 — pure double work)
+            self.retrieval.add(frame, precomputed=pre, kf_index=kf_idx)
             # snap to the best retrieved keyframe's pose (main.py:61)
             self.keyframes.update_pose(kf_idx, self.keyframes.T_WC[inds[0]])
             frame.T_WC = self.keyframes.T_WC[inds[0]]
@@ -228,6 +241,7 @@ class SLAM:
             frame.update_pointmap(
                 X.reshape(-1, 3), C.reshape(-1, 1),
                 mode=self.cfg["tracking"]["filtering_mode"],
+                score_mode=self.cfg["tracking"]["filtering_score"],
             )
             with self.lock:
                 self.keyframes.append(frame)
@@ -242,9 +256,11 @@ class SLAM:
             frame.update_pointmap(
                 X.reshape(-1, 3), C.reshape(-1, 1),
                 mode=self.cfg["tracking"]["filtering_mode"],
+                score_mode=self.cfg["tracking"]["filtering_score"],
             )
             self.n_reloc += 1
             if self._relocalize(frame):
+                self.n_reloc_success += 1
                 self.mode = Mode.TRACKING
                 self.tracker.reset_idx_f2k()
             self._log(timestamp, frame)
@@ -315,6 +331,7 @@ class SLAM:
             fps=n / wall if wall > 0 else 0.0,
             n_keyframes=len(kf),
             n_reloc=self.n_reloc,
+            n_reloc_success=self.n_reloc_success,
         )
 
     def save_trajectory(self, path, result: SlamResult):

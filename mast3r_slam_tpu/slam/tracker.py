@@ -102,8 +102,8 @@ def _track_compute(
     img_hw: Tuple[int, int],
     Xii, Cii, Dii, Qii,      # frame canonical prediction (1, H, W, *)
     Xji, Cji, Dji, Qji,      # keyframe-in-frame prediction (1, H, W, *)
-    frame_X, frame_C, frame_n_fused,
-    kf_X, kf_C, kf_n_fused,
+    frame_X, frame_C, frame_n_fused, frame_n_updates, frame_score,
+    kf_X, kf_C, kf_n_fused, kf_n_updates, kf_score,
     T_WCf, T_WCk,
     idx_init,
     K,
@@ -145,13 +145,11 @@ def _track_compute(
     Qji_f = Qji.reshape(N, 1)
 
     # 2. fuse the new canonical observation into the frame pointmap
-    first = frame_n_fused == 0
-    fX, fC, fn, _ = fuse_pointmap(
-        frame_X, frame_C, frame_n_fused, Xii_f, Cii_f, mode=ts.filtering_mode
+    # (tracker.py:44; all six filtering modes + best_score state threaded)
+    frame_X, frame_C, frame_n_fused, frame_n_updates, frame_score = fuse_pointmap(
+        frame_X, frame_C, frame_n_fused, frame_n_updates, Xii_f, Cii_f,
+        score=frame_score, mode=ts.filtering_mode, score_mode=ts.filtering_score,
     )
-    frame_X = jnp.where(first, Xii_f, fX)
-    frame_C = jnp.where(first, Cii_f, fC)
-    frame_n_fused = jnp.where(first, 1, fn)
 
     # 3. gather correspondences + confidence gating (tracker.py:54-70)
     Xf_all = frame_X
@@ -198,8 +196,9 @@ def _track_compute(
 
     # 5. fuse keyframe pointmap with its re-observation (tracker.py:96-101)
     Xkk = sim3.act(T_CkCf, Xji_f)
-    kX, kC, kn, _ = fuse_pointmap(
-        kf_X, kf_C, kf_n_fused, Xkk, Cji_f, mode=ts.filtering_mode
+    kX, kC, kn, knu, ks = fuse_pointmap(
+        kf_X, kf_C, kf_n_fused, kf_n_updates, Xkk, Cji_f,
+        score=kf_score, mode=ts.filtering_mode, score_mode=ts.filtering_score,
     )
 
     # 6. keyframe decision stats (tracker.py:103-110).  hit[j] = 1 iff some
@@ -224,6 +223,8 @@ def _track_compute(
         unique_frac_f,
         ok.astype(jnp.float32),
         frame_n_fused.astype(jnp.float32),
+        frame_n_updates.astype(jnp.float32),
+        frame_score,
         cost,
     ])
 
@@ -231,10 +232,11 @@ def _track_compute(
         idx_f2k=idx_f2k,
         frame_X=frame_X,
         frame_C=frame_C,
-        frame_n_fused=frame_n_fused,
         kf_X=kX,
         kf_C=kC,
         kf_n_fused=kn,
+        kf_n_updates=knu,
+        kf_score=ks,
         T_WCf=T_WCf_new,
         stats=stats,
     )
@@ -276,9 +278,13 @@ class FrameTracker:
             frame_X,
             frame_C,
             jnp.asarray(frame.n_fused, dtype=jnp.int32),
+            jnp.asarray(frame.n_updates, dtype=jnp.int32),
+            jnp.asarray(frame.score, dtype=jnp.float32),
             kf.X[kf_idx],
             kf.C[kf_idx],
             kf.n_fused[kf_idx],
+            kf.n_updates[kf_idx],
+            kf.score[kf_idx],
             frame.T_WC,
             kf.T_WC[kf_idx],
             self.idx_f2k,
@@ -289,9 +295,8 @@ class FrameTracker:
 
         import numpy as np
 
-        match_frac, match_frac_k, unique_frac_f, gn_ok, n_fused, _ = np.asarray(
-            out["stats"]
-        )
+        (match_frac, match_frac_k, unique_frac_f, gn_ok, n_fused, n_updates,
+         frame_score, _) = np.asarray(out["stats"])
 
         # low overlap -> relocalise (tracker.py:66-70);
         # GN/Cholesky failure -> skip frame (tracker.py:91-93)
@@ -302,8 +307,11 @@ class FrameTracker:
         frame.X_canon = out["frame_X"]
         frame.C = out["frame_C"]
         frame.n_fused = int(n_fused)
+        frame.n_updates = int(n_updates)
+        frame.score = float(frame_score)
         frame.T_WC = out["T_WCf"]
-        kf.update_pointmap(kf_idx, out["kf_X"], out["kf_C"], out["kf_n_fused"])
+        kf.update_pointmap(kf_idx, out["kf_X"], out["kf_C"], out["kf_n_fused"],
+                           out["kf_n_updates"], out["kf_score"])
 
         new_kf = min(match_frac_k, unique_frac_f) < self.ts.match_frac_thresh
         if new_kf:

@@ -77,7 +77,9 @@ def main(stages):
         return (
             ts, (H, W), Xii, Cii, Dii, Qii, Xji, Cji, Dji, Qji,
             Xii.reshape(N, 3), Cii.reshape(N, 1), jnp.asarray(1, jnp.int32),
-            kf_X, kf_C, jnp.asarray(1, jnp.int32), T_id, T_id, idx0, K,
+            jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32),
+            kf_X, kf_C, jnp.asarray(1, jnp.int32),
+            jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32), T_id, T_id, idx0, K,
         )
 
     ts_exact = TrackerSettings.from_config(load_config("base"))
@@ -99,7 +101,9 @@ def main(stages):
                 out = _track_compute(
                     ts, (H, W), Xii, Cii, Dii, Qii, Xji, Cji, Dji, Qji,
                     Xii.reshape(N, 3), Cii.reshape(N, 1), jnp.asarray(1, jnp.int32),
+                    jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32),
                     kf_X, kf_C, jnp.asarray(1, jnp.int32),
+                    jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32),
                     T_WCf, T_WCk, idx_init, K,
                 )
                 return out["T_WCf"], out["stats"], out["idx_f2k"]

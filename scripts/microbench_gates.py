@@ -63,7 +63,9 @@ def main():
         return (
             ts, (H, W), Xii, Cii, Dii, Qii, Xji, Cii, Dji, Qii,
             kf_X, kf_C.reshape(N, 1), jnp.asarray(1, jnp.int32),
-            kf_X, kf_C, jnp.asarray(1, jnp.int32), T_id, T_id, idx0, K,
+            jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32),
+            kf_X, kf_C, jnp.asarray(1, jnp.int32),
+            jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32), T_id, T_id, idx0, K,
         )
 
     variants = [

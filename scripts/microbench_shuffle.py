@@ -88,13 +88,20 @@ def bench(name, p):
     return f(p)
 
 
-o_base = bench("pixel-major (base)", params)
-M._pixel_shuffle_tokens = shuffle_chan_major
-o_perm = bench("chan-major (old)  ", params_perm)
-M._pixel_shuffle_tokens = orig_shuffle
-o_re = bench("pixel-major (re)  ", params)
+def main():
+    o_base = bench("pixel-major (base)", params)
+    try:
+        M._pixel_shuffle_tokens = shuffle_chan_major
+        o_perm = bench("chan-major (old)  ", params_perm)
+    finally:
+        M._pixel_shuffle_tokens = orig_shuffle
+    bench("pixel-major (re)  ", params)
 
-d = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(jax.tree.leaves(o_base), jax.tree.leaves(o_perm)))
-print(f"max|diff| old-layout vs base: {d:.2e}", flush=True)
+    d = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(jax.tree.leaves(o_base), jax.tree.leaves(o_perm)))
+    print(f"max|diff| old-layout vs base: {d:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
 # measured 2026-08-20 (v5e, one process): chan-major 12.05/11.94 ms,
 # pixel-major 11.37 ms, max|diff| 0.0 -> pixel-major landed as default.

@@ -74,8 +74,8 @@ def rest(idx_f2k, valid_match, Xii, Cii, Qii, Xji, Cji, Qji, kf_X, kf_C, T_WCf, 
     Xji_f = Xji.reshape(N, 3)
     Cji_f = Cji.reshape(N, 1)
 
-    fX, fC, fn, _ = fuse_pointmap(Xii_f, Cii_f, jnp.asarray(1, jnp.int32),
-                                  Xii_f, Cii_f, mode=ts.filtering_mode)
+    fX, fC, fn, _, _ = fuse_pointmap(Xii_f, Cii_f, 1, 1,
+                                     Xii_f, Cii_f, mode=ts.filtering_mode)
     Cf_avg = fC / fn.astype(fC.dtype)
     Ck_avg = kf_C / 1.0
     gathered = jnp.concatenate([fX, Cf_avg, Qii_f], axis=-1)[idx_f2k]
@@ -90,8 +90,8 @@ def rest(idx_f2k, valid_match, Xii, Cii, Qii, Xji, Cji, Qji, kf_X, kf_C, T_WCf, 
         Xf, kf_X, sim3.rel(T_WCk, T_WCf), Qk, valid_opt.astype(Xf.dtype), ts.gn)
 
     Xkk = sim3.act(T_CkCf, Xji_f)
-    kX, kC, kn, _ = fuse_pointmap(kf_X, kf_C, jnp.asarray(1, jnp.int32),
-                                  Xkk, Cji_f, mode=ts.filtering_mode)
+    kX, kC, kn, _, _ = fuse_pointmap(kf_X, kf_C, 1, 1,
+                                     Xkk, Cji_f, mode=ts.filtering_mode)
     hit = jnp.zeros((N,), dtype=jnp.float32).at[idx_f2k].max(
         valid_match[:, 0].astype(jnp.float32))
     return sim3.mul(T_WCk, T_CkCf), match_frac, kX, kC, jnp.sum(hit)
@@ -121,5 +121,7 @@ print(f"track-gather only:  {timeit(gather_only, idx_f2k, X, C, C)*1e3:7.2f} ms"
 fn = lambda *a: _track_compute(*a)["T_WCf"]
 targs = (ts, (H, W), X, C, D, C, X2, C, D, C,
          X.reshape(N, 3), C.reshape(N, 1), jnp.asarray(1, jnp.int32),
-         kf_X, kf_C, jnp.asarray(1, jnp.int32), T_id, T_id, idx0, K)
+         jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32),
+         kf_X, kf_C, jnp.asarray(1, jnp.int32),
+         jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32), T_id, T_id, idx0, K)
 print(f"track_compute speed:{timeit(fn, *targs)*1e3:7.2f} ms", flush=True)

@@ -112,7 +112,9 @@ def main():
         args = (ts, (H, W), X, Cmap, Dii, Cmap,
                 X + jnp.array([0.03, 0.01, 0.02]), Cmap, Dii, Cmap,
                 X.reshape(N, 3), jnp.ones((N, 1)) * 2.0, jnp.asarray(1, jnp.int32),
+                jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32),
                 X.reshape(N, 3), jnp.ones((N, 1)) * 2.0, jnp.asarray(1, jnp.int32),
+                jnp.asarray(1, jnp.int32), jnp.asarray(-jnp.inf, jnp.float32),
                 sim3.identity(), sim3.identity(), idx0,
                 jnp.eye(3, dtype=jnp.float32))
         trace_and_report("track", lambda *a: _track_compute(*a), *args)

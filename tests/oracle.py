@@ -121,6 +121,17 @@ class OracleModel:
             X = X + self.rng.normal(size=X.shape).astype(np.float32) * self.noise
         return X
 
+    def _conf(self, X_cam: np.ndarray, fid: int) -> np.ndarray:
+        """Structured confidence: depth-dependent per pixel + slow per-frame
+        drift.  Constant confidence would degenerate ``indep_conf`` (C_new > C
+        never fires) and ``best_score`` (median never beats the stored score)
+        into keep-first — real models emit varying confidence, and the
+        filtering modes only get genuine coverage when the oracle does too."""
+        d = np.linalg.norm(X_cam, axis=-1)
+        return (1.6 + 1.0 / (1.0 + d) + 0.15 * np.sin(0.9 * fid)).astype(
+            np.float32
+        )[None]
+
     def _pair(self, fid_i, fid_j):
         """(Xii, Cii, Dii, Qii), (Xji, ...): j's points in i's frame."""
         Ti, Xi, Di = self._view(fid_i)
@@ -132,8 +143,10 @@ class OracleModel:
         Xji = np.asarray(sim3.act(jnp.asarray(T_CiCj), jnp.asarray(Xj)))
         ones = np.full((1, H, W), 2.0, dtype=np.float32)
         mk = lambda a: jnp.asarray(a[None])
-        res_ii = (mk(self._noisify(Xi)), jnp.asarray(ones), mk(Di), jnp.asarray(ones))
-        res_ji = (mk(self._noisify(Xji)), jnp.asarray(ones), mk(Dj), jnp.asarray(ones))
+        res_ii = (mk(self._noisify(Xi)), jnp.asarray(self._conf(Xi, fid_i)),
+                  mk(Di), jnp.asarray(ones))
+        res_ji = (mk(self._noisify(Xji)), jnp.asarray(self._conf(Xji, fid_j)),
+                  mk(Dj), jnp.asarray(ones))
         return res_ii, res_ji
 
     # -- interface -----------------------------------------------------
@@ -163,7 +176,7 @@ class OracleModel:
         fid = self._fid(feat)
         _, X, _ = self._view(fid)
         H, W = self.img_hw
-        return jnp.asarray(self._noisify(X)[None]), jnp.full((1, H, W), 2.0, dtype=jnp.float32)
+        return jnp.asarray(self._noisify(X)[None]), jnp.asarray(self._conf(X, fid))
 
 
 def arc_trajectory(n_frames: int, radius=0.5, max_angle=0.5) -> np.ndarray:
