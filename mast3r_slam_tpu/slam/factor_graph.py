@@ -34,13 +34,20 @@ def _bucket(n: int, lo: int = 1) -> int:
 
 class FactorGraph:
     def __init__(self, model, cfg, keyframes: Keyframes,
-                 img_hw: Tuple[int, int], K=None, edge_capacity: int = 1024):
+                 img_hw: Tuple[int, int], K=None, edge_capacity: int = 1024,
+                 mesh=None):
         self.model = model
         self.cfg = cfg
         self.lcfg = cfg["local_opt"]
         self.settings = GlobalGNSettings.from_config(cfg)
         self.keyframes = keyframes
         self.img_hw = img_hw
+        # Optional jax.sharding.Mesh: when set, solve() runs the edge-sharded
+        # distributed GN (parallel/sharded_ba.py) and add_factors shards the
+        # symmetric-decode batch over the same `edges` axis.  This is the
+        # engine-mode form of the reference's whole-backend scaling target
+        # (gn_kernels.cu:1199-1206 SparseBlock reduction).
+        self.mesh = mesh
         self.K = K if K is not None else jnp.eye(3, dtype=jnp.float32)
         N = img_hw[0] * img_hw[1]
         self.N = N
@@ -74,9 +81,23 @@ class FactorGraph:
         ii_arr = np.asarray(ii, dtype=np.int32)
         jj_arr = np.asarray(jj, dtype=np.int32)
 
-        res = self.model.symmetric(
-            kf.feat[ii_arr], kf.pos[ii_arr], kf.feat[jj_arr], kf.pos[jj_arr]
-        )
+        if self.mesh is not None:
+            # shard the symmetric-decode batch over the mesh's edge axis:
+            # pad B to a pow2 multiple of the mesh size (pad pairs reuse
+            # keyframe 0; their outputs are sliced away below)
+            from ..parallel.mesh import shard_edges
+
+            Bpad = _bucket(B, self.mesh.size)
+            ii_b = np.concatenate([ii_arr, np.zeros(Bpad - B, np.int32)])
+            jj_b = np.concatenate([jj_arr, np.zeros(Bpad - B, np.int32)])
+            feats = shard_edges(
+                self.mesh, kf.feat[ii_b], kf.pos[ii_b], kf.feat[jj_b], kf.pos[jj_b]
+            )
+            res = self.model.symmetric(*feats)
+        else:
+            res = self.model.symmetric(
+                kf.feat[ii_arr], kf.pos[ii_arr], kf.feat[jj_arr], kf.pos[jj_arr]
+            )
         out = _add_factors_compute(
             self.img_hw,
             res,
@@ -84,8 +105,8 @@ class FactorGraph:
             self._match_kwargs(),
         )
 
-        match_frac_j = np.asarray(out["match_frac_j"])
-        match_frac_i = np.asarray(out["match_frac_i"])
+        match_frac_j = np.asarray(out["match_frac_j"])[:B]
+        match_frac_i = np.asarray(out["match_frac_i"])[:B]
         consecutive = ii_arr == (jj_arr - 1)
         invalid = np.minimum(match_frac_j, match_frac_i) < min_match_frac
         invalid = (~consecutive) & invalid
@@ -171,7 +192,9 @@ class FactorGraph:
         n_kf = len(self.keyframes)
         if E == 0 or n_kf <= self.settings.pin:
             return
-        Epad = _bucket(2 * E, 2)
+        # mesh mode shards edges, so the bucket floor is the mesh size
+        # (pow2) — padded edges carry valid=False and contribute nothing
+        Epad = _bucket(2 * E, 2 if self.mesh is None else self.mesh.size)
         Ppad = _bucket(n_kf, 2)
 
         ii2 = np.zeros((Epad,), dtype=np.int32)
@@ -202,20 +225,33 @@ class FactorGraph:
 
             Xs = jax.vmap(lambda X: constrain_points_to_ray(self.img_hw, X, self.K))(Xs)
 
-        Twc_new, iters, ok = gauss_newton_poses(
-            Twc,
-            Xs,
-            Cs,
-            jnp.asarray(ii2),
-            jnp.asarray(jj2),
-            idx,
-            valid,
-            Q,
-            self.K,
-            self.img_hw,
-            self.settings,
-            mode,
-        )
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate, shard_edges
+            from ..parallel.sharded_ba import gauss_newton_poses_sharded
+
+            Twc_r, Xs_r, Cs_r = replicate(self.mesh, Twc, Xs, Cs)
+            ii_d, jj_d, idx_d, valid_d, Q_d = shard_edges(
+                self.mesh, jnp.asarray(ii2), jnp.asarray(jj2), idx, valid, Q
+            )
+            Twc_new, iters, ok = gauss_newton_poses_sharded(
+                self.mesh, Twc_r, Xs_r, Cs_r, ii_d, jj_d, idx_d, valid_d, Q_d,
+                self.K, self.img_hw, self.settings, mode,
+            )
+        else:
+            Twc_new, iters, ok = gauss_newton_poses(
+                Twc,
+                Xs,
+                Cs,
+                jnp.asarray(ii2),
+                jnp.asarray(jj2),
+                idx,
+                valid,
+                Q,
+                self.K,
+                self.img_hw,
+                self.settings,
+                mode,
+            )
         # write back optimized poses for all real keyframes except pinned
         pin = self.settings.pin
         kf.T_WC = kf.T_WC.at[pin:n_kf].set(Twc_new[pin:n_kf])
