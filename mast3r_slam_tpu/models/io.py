@@ -25,6 +25,13 @@ _FORMAT_VERSION = 2
 _VERSION_KEY = "__format_version__"
 
 
+# npz has no bfloat16: np.savez writes ml_dtypes.bfloat16 arrays as raw
+# void-2 records that np.load cannot hand back to jax (dtype |V2).  Store
+# bf16 leaves as a uint16 bit-view under a tagged key and view them back on
+# load — bitwise exact.
+_BF16_TAG = "__bf16__"
+
+
 def _flatten(params):
     flat = {}
 
@@ -38,7 +45,11 @@ def _flatten(params):
         elif node is None:
             flat[f"{prefix}{_SEP}__none__"] = np.zeros((0,))
         else:
-            flat[prefix] = np.asarray(node)
+            a = np.asarray(node)
+            if a.dtype == jnp.bfloat16:
+                flat[f"{prefix}{_SEP}{_BF16_TAG}"] = a.view(np.uint16)
+            else:
+                flat[prefix] = a
 
     rec("", params)
     return flat
@@ -66,6 +77,10 @@ def load_params(path):
         if key == _VERSION_KEY:
             continue
         parts = key.split(_SEP)
+        value = None
+        if parts[-1] == _BF16_TAG:  # uint16 bit-view of a bf16 leaf
+            parts = parts[:-1]
+            value = jnp.asarray(data[key].view(jnp.bfloat16))
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
@@ -74,7 +89,7 @@ def load_params(path):
             # collapse to None at the parent level handled below
             node["__none_marker__"] = True
             continue
-        node[leaf] = jnp.asarray(data[key])
+        node[leaf] = value if value is not None else jnp.asarray(data[key])
 
     def fix(node):
         if isinstance(node, dict):

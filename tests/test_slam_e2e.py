@@ -178,3 +178,44 @@ def test_calib_mode_tracks():
     aligned = (s * (R @ est.T)).T + t
     ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt_t, axis=-1) ** 2)))
     assert ate < 0.04, f"calib-mode frame ATE {ate:.4f} too high"
+
+
+def test_ate_insensitive_to_bf16_quantized_predictions():
+    """bf16-trunk ATE sensitivity proxy (VERDICT r1 item 4b): quantize every
+    oracle model output (pointmaps, confidences, descriptors) to bfloat16 —
+    the magnitude of error the bf16 trunk introduces (bounded at production
+    scale by test_model_scale.test_vitl_bf16_trunk_drift_bounded) — and the
+    engine's trajectory must stay at the same quantization-floor ATE."""
+
+    class BF16Oracle(OracleModel):
+        @staticmethod
+        def _q(t):
+            return tuple(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+                         for x in t)
+
+        def asymmetric(self, *a):
+            r1, r2 = super().asymmetric(*a)
+            return self._q(r1), self._q(r2)
+
+        def symmetric(self, *a):
+            return tuple(self._q(r) for r in super().symmetric(*a))
+
+        def mono(self, *a):
+            return self._q(super().mono(*a))
+
+    scene = PlaneScene(HW)
+    gt = arc_trajectory(N_FRAMES, radius=0.6, max_angle=2.5)
+    model = BF16Oracle(scene, gt, noise=0.002)
+    cfg = load_config("base")
+    cfg["engine"]["keyframe_buffer"] = 64
+    cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True
+    slam = SLAM(model, cfg, HW)
+    result = slam.run(OracleDataset(N_FRAMES, HW), verbose=False)
+    assert result.n_reloc == 0
+    est = result.frame_poses[:, :3]
+    gt_t = gt[:, :3]
+    s, R, t = umeyama_alignment(est, gt_t)
+    aligned = (s * (R @ est.T)).T + t
+    ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt_t, axis=-1) ** 2)))
+    assert ate < 0.04, f"bf16-quantized ATE {ate:.4f} exceeds the f32 bound"
