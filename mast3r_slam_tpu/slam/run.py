@@ -36,6 +36,9 @@ def build_slam(cfg, dataset, checkpoint=None, retrieval_checkpoint=None,
     trunk_dtype = cfg.get("engine", {}).get("dtype", "bfloat16")
     if preset == "vit_large" and trunk_dtype == "float32":
         mcfg = dataclasses.replace(mcfg, dtype=_jnp.float32)
+    head_dtype = cfg.get("engine", {}).get("head_dtype", "float32")
+    if head_dtype == "bfloat16":
+        mcfg = dataclasses.replace(mcfg, head_dtype=_jnp.bfloat16)
     attn_impl = cfg.get("engine", {}).get("attn_impl", "xla")
     if attn_impl != mcfg.attn_impl:
         mcfg = dataclasses.replace(mcfg, attn_impl=attn_impl)
@@ -81,6 +84,9 @@ def main(argv=None):
                         help="tiny = smoke-test trunk (random weights)")
     parser.add_argument("--profile", action="store_true",
                         help="print per-stage timing report at the end")
+    parser.add_argument("--viz-ws", type=int, default=0, metavar="PORT",
+                        help="stream live pose/keyframe-pointcloud events on "
+                             "ws://127.0.0.1:PORT (open viz/viewer.html?ws=...)")
     parser.add_argument("--trace", default="",
                         help="write a jax.profiler trace (xplane) to this dir")
     parser.add_argument("--platform", default="",
@@ -139,6 +145,15 @@ def main(argv=None):
         codebook=args.codebook or None,
         preset=args.model_preset,
     )
+    broadcaster = None
+    if args.viz_ws:
+        from ..serve.broadcast import EventBroadcaster
+
+        broadcaster = EventBroadcaster(port=args.viz_ws).start()
+        slam.on_event = broadcaster.push
+        print(f"live viewer stream: ws://127.0.0.1:{broadcaster.bound_port} "
+              f"(open mast3r_slam_tpu/viz/viewer.html?ws=...)")
+
     if args.trace:
         import jax
 
@@ -146,6 +161,8 @@ def main(argv=None):
             result = slam.run(dataset, max_frames=args.max_frames)
     else:
         result = slam.run(dataset, max_frames=args.max_frames)
+    if broadcaster is not None:
+        broadcaster.stop()
 
     save_dir = pathlib.Path("logs")
     if args.save_as != "default":
