@@ -68,7 +68,9 @@ def save_reconstruction(
         pW = np.asarray(sim3.act(keyframes.T_WC[i], X)).reshape(-1, 3)
         conf = np.asarray(keyframes.average_conf(i)).reshape(-1)
         uimg = keyframes.uimgs[i]
-        if uimg is None:
+        if uimg is None or np.asarray(uimg).reshape(-1, 3).shape[0] != pW.shape[0]:
+            # no image, or stored at a different resolution than the
+            # pointmap (e.g. tiny-engine tests): colorless points
             color = np.full((pW.shape[0], 3), 128, dtype=np.uint8)
         else:
             color = np.asarray(uimg).reshape(-1, 3)

@@ -1,0 +1,102 @@
+"""Live event broadcaster for local runs (`slam/run.py --viz-ws`).
+
+The reference renders its live map in-process through an OpenGL window fed by
+a main->viz queue (/root/reference/main.py:188-199, visualization.py:98-188).
+On a headless TPU host the equivalent is a websocket fan-out: the engine's
+``on_event`` stream (pose_update + new_keyframe-with-pointcloud) is pushed to
+every connected viewer (viz/viewer.html?ws=...), with keyframe history
+replayed to late joiners so the full map appears immediately.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+from typing import List, Optional
+
+
+class EventBroadcaster:
+    """Thread-hosted asyncio websocket fan-out with keyframe replay."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8765,
+                 history_limit: int = 4096):
+        self.host = host
+        self.port = port
+        self.history_limit = history_limit
+        self._history: List[str] = []  # serialized new_keyframe events
+        self._clients: set = set()
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._ready = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self.bound_port: Optional[int] = None
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self):
+        self._thread.start()
+        self._ready.wait(timeout=10)
+        return self
+
+    def stop(self):
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=5)
+
+    def _serve(self):
+        import websockets.asyncio.server as ws_server
+
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        self._loop = loop
+
+        async def handler(websocket):
+            # replay the map so far, then live-stream
+            for payload in list(self._history):
+                await websocket.send(payload)
+            self._clients.add(websocket)
+            try:
+                async for _ in websocket:
+                    pass  # viewers only listen
+            finally:
+                self._clients.discard(websocket)
+
+        async def up():
+            server = await ws_server.serve(handler, self.host, self.port)
+            self.bound_port = server.sockets[0].getsockname()[1]
+            self._ready.set()
+            return server
+
+        server = loop.run_until_complete(up())
+        try:
+            loop.run_forever()
+        finally:
+            server.close()
+            loop.run_until_complete(server.wait_closed())
+            loop.close()
+
+    # -- engine-facing ----------------------------------------------------
+
+    def push(self, event: dict):
+        """Engine event sink (SLAM.on_event); thread-safe, non-blocking."""
+        payload = json.dumps(event)
+        if event.get("type") == "new_keyframe":
+            self._history.append(payload)
+            if len(self._history) > self.history_limit:
+                self._history = self._history[-self.history_limit:]
+        loop = self._loop
+        if loop is None or not self._clients:
+            return
+
+        def send_all():
+            for ws in list(self._clients):
+                asyncio.ensure_future(self._safe_send(ws, payload))
+
+        loop.call_soon_threadsafe(send_all)
+
+    @staticmethod
+    async def _safe_send(ws, payload):
+        try:
+            await ws.send(payload)
+        except Exception:
+            pass  # client went away; handler cleanup removes it

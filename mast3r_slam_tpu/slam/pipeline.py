@@ -84,6 +84,13 @@ class SLAM:
         self.n_reloc_success = 0
         self.frame_log: List[tuple] = []  # (timestamp, T_WC np (8,))
         self.timer = StageTimer(sync=False)  # per-stage host-side timings
+        # optional live event sink (serving / --viz-ws): called with
+        # pose_update / new_keyframe dicts as the run progresses — the role
+        # of the reference's main2viz queue (visualization.py:98-188)
+        self.on_event = None
+        self.viz_point_stride = int(cfg.get("engine", {}).get(
+            "viz_point_stride", 0
+        ))  # 0 = auto (~<=8k points per keyframe payload)
 
         # frontend/backend overlap (single_thread: False, the reference's
         # default live mode, main.py:225): global-optimisation tasks run on a
@@ -223,6 +230,7 @@ class SLAM:
             self.keyframes.update_pose(kf_idx, self.keyframes.T_WC[inds[0]])
             frame.T_WC = self.keyframes.T_WC[inds[0]]
             self.graph.solve()
+            self._emit_keyframe(kf_idx, frame)
             return True
         # all-or-nothing: no edges were stored on failure (global_opt.py:76-77)
         self.keyframes.pop_last()
@@ -244,11 +252,12 @@ class SLAM:
                 score_mode=self.cfg["tracking"]["filtering_score"],
             )
             with self.lock:
-                self.keyframes.append(frame)
+                kf_idx = self.keyframes.append(frame)
             if self.retrieval is not None:
                 self._submit_backend(0)
             self.mode = Mode.TRACKING
             self._log(timestamp, frame)
+            self._emit_keyframe(kf_idx, frame)
             return frame
 
         if self.mode == Mode.RELOC:
@@ -277,11 +286,68 @@ class SLAM:
             with self.lock:
                 kf_idx = self.keyframes.append(frame)
             self._submit_backend(kf_idx)
+            self._emit_keyframe(kf_idx, frame)
         self._log(timestamp, frame)
         return frame
 
     def _log(self, timestamp, frame):
-        self.frame_log.append((timestamp, np.asarray(frame.T_WC)))
+        T = np.asarray(frame.T_WC)
+        self.frame_log.append((timestamp, T))
+        self._emit(lambda: {
+            "type": "pose_update",
+            "frame_id": int(frame.frame_id),
+            "timestamp": timestamp,
+            "pose": T.tolist(),
+            "mode": self.mode.name,
+        })
+
+    def _emit(self, make_event):
+        """Push one event to the live sink (no-op, zero cost, when unset)."""
+        if self.on_event is None:
+            return
+        try:
+            self.on_event(make_event())
+        except Exception as e:  # the sink must never break tracking
+            print(f"event sink failed: {e!r}")
+
+    def _emit_keyframe(self, kf_idx: int, frame: Frame):
+        """new_keyframe event carrying a downsampled world pointcloud so a
+        live viewer can draw the MAP, not just frustums (the reference
+        visualizer consumes dirty keyframe pointmaps, visualization.py:98-188).
+        """
+        if self.on_event is None:
+            return
+
+        def build():
+            X = np.asarray(self.keyframes.X[kf_idx])
+            C = np.asarray(self.keyframes.average_conf(kf_idx)).reshape(-1)
+            T = np.asarray(self.keyframes.T_WC[kf_idx])
+            stride = self.viz_point_stride or max(1, len(X) // 8192)
+            Xw = np.asarray(
+                sim3.act(jnp.asarray(T), jnp.asarray(X[::stride]))
+            ).astype(np.float32)
+            conf = C[::stride]
+            uimg = self.keyframes.uimgs[kf_idx]
+            if uimg is not None and np.asarray(uimg).reshape(-1, 3).shape[0] == len(X):
+                col = np.asarray(uimg).reshape(-1, 3)[::stride]
+                col = col if col.dtype == np.uint8 else np.uint8(
+                    np.clip(col, 0, 1) * 255
+                )
+            else:
+                col = np.full((len(Xw), 3), 128, np.uint8)
+            sel = conf > 1.0 + 1e-6  # drop never-confident pixels
+            if sel.any():
+                Xw, col = Xw[sel], col[sel]
+            return {
+                "type": "new_keyframe",
+                "keyframe_index": int(kf_idx),
+                "frame_id": int(frame.frame_id),
+                "pose": np.asarray(T).tolist(),
+                "points": np.round(Xw, 4).tolist(),
+                "colors": col.tolist(),
+            }
+
+        self._emit(build)
 
     # ------------------------------------------------------------------
 
