@@ -1,0 +1,159 @@
+"""Capacity-growth policies for long-video ingest (VERDICT r1 item 7).
+
+The reference fixes its buffers (512-slot SharedKeyframes, frame.py:221;
+grow-lists in the IVF) and asserts/fails at capacity.  This build doubles
+(pow2, so jit-signature buckets recompile rarely): keyframe SoA, factor-graph
+edge SoA, and retrieval IVF all grow; a small-buffer engine soak proves no
+assert-death end-to-end.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mast3r_slam_tpu.config import load_config
+from mast3r_slam_tpu.eval.trajectory import umeyama_alignment
+from mast3r_slam_tpu.lie import sim3
+from mast3r_slam_tpu.slam.frame import Frame, Keyframes
+from mast3r_slam_tpu.slam.pipeline import SLAM
+
+from oracle import OracleDataset, OracleModel, PlaneScene, arc_trajectory
+
+HW = (48, 64)
+
+
+def _frame(i, npix=12, npatch=3, fdim=4):
+    rng = np.random.default_rng(i)
+    return Frame(
+        frame_id=i,
+        img=None,
+        T_WC=sim3.identity(),
+        X_canon=jnp.asarray(rng.normal(size=(npix, 3)).astype(np.float32)),
+        C=jnp.ones((npix, 1)) * (i + 1.0),
+        n_fused=1,
+        n_updates=1,
+        feat=jnp.full((1, npatch, fdim), float(i)),
+        pos=jnp.zeros((1, npatch, 2), jnp.int32),
+    )
+
+
+def test_keyframes_double_past_capacity():
+    kf = Keyframes(capacity=2, num_pixels=12, num_patches=3, feat_dim=4)
+    for i in range(9):  # forces 2 -> 4 -> 8 -> 16
+        kf.append(_frame(i))
+    assert kf.capacity == 16
+    assert len(kf) == 9
+    # early slots survived every doubling
+    for i in (0, 1, 2, 8):
+        f = kf.get_frame(i)
+        assert f.frame_id == i
+        np.testing.assert_allclose(np.asarray(f.C), (i + 1.0) * np.ones((12, 1)))
+        assert float(f.feat[0, 0, 0]) == float(i)
+    # padding slots keep the sentinel frame ids
+    assert (kf.frame_id[9:] == -1).all()
+
+
+def test_keyframes_growth_preserves_score_state():
+    kf = Keyframes(capacity=1, num_pixels=12, num_patches=3, feat_dim=4)
+    f = _frame(0)
+    f.score = 3.5
+    f.n_updates = 4
+    kf.append(f)
+    kf.append(_frame(1))  # grow
+    g = kf.get_frame(0)
+    assert g.score == 3.5 and g.n_updates == 4
+    # new padding score slots are -inf (best_score must treat them as unset)
+    assert np.isneginf(np.asarray(kf.score[2:])).all()
+
+
+def test_ivf_doubles_past_capacity():
+    from mast3r_slam_tpu.retrieval.asmk import (
+        ASMKSettings,
+        DeviceIVF,
+        binarize_pack,
+    )
+
+    rng = np.random.default_rng(0)
+    s = ASMKSettings(capacity=16, max_images=2)
+    ivf = DeviceIVF(dim=32, settings=s)
+    packs = []
+    for im in range(6):  # 6 images x 8 entries = 48 > 16; 6 images > 2
+        packed = binarize_pack(
+            jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+        )
+        words = jnp.asarray(np.arange(8, dtype=np.int32))
+        packs.append((packed, words))
+        ivf.add(packed, words, jnp.ones((8,), bool), imid=im)
+    assert ivf.s.capacity >= 48 and ivf.n_entries == 48
+    assert ivf.s.max_images >= 6 and ivf.n_images == 6
+    # entries stored before every doubling still match their own query best
+    packed0, words0 = packs[0]
+    scores = np.asarray(
+        ivf.search(packed0, words0, jnp.ones((8,), bool))
+    )[: ivf.n_images]
+    assert scores.argmax() == 0, scores
+
+
+@pytest.mark.slow
+def test_engine_soak_grows_all_buffers():
+    """Long-video proxy (BASELINE.md "Long video" row): 81 frames sweeping
+    the arc back and forth with TINY initial buffers and the full retrieval
+    stack.  Keyframes, factor-graph edges AND the IVF must all outgrow their
+    allocations without assert-death; accumulated drift may cost a reloc,
+    which must SUCCEED (loop closure against old keyframes), and the engine
+    must end the run tracking.
+
+    (Forcing growth via a high match_frac_thresh instead keyframes every
+    frame, and near-zero-baseline Sim3 two-view alignment is ill-conditioned
+    — scale drift collapses tracking with ANY buffer size; a property of the
+    formulation, not of the growth policy.)"""
+    import jax
+
+    from mast3r_slam_tpu.retrieval import RetrievalDatabase
+    from mast3r_slam_tpu.retrieval.asmk import ASMKSettings
+    from mast3r_slam_tpu.retrieval.head import (
+        RetrievalHeadSettings,
+        init_head_params,
+    )
+    from mast3r_slam_tpu.slam.frame import Mode
+
+    fwd = arc_trajectory(16, radius=0.6, max_angle=2.5)
+    segs = [fwd]
+    for _ in range(5):  # there-and-back: each leg reverses the last
+        segs.append(segs[-1][::-1][1:])
+    gt = np.concatenate(segs, axis=0)
+    n_frames = len(gt)
+    scene = PlaneScene(HW)
+    model = OracleModel(scene, gt, noise=0.002)
+    cfg = load_config("base")
+    cfg["engine"]["keyframe_buffer"] = 4
+    cfg["engine"]["edge_buffer"] = 4
+    cfg["single_thread"] = True
+    cfg["reloc"]["strict"] = False  # see test_reloc_e2e
+    params = init_head_params(jax.random.key(0), model.feat_dim, hdims=(8,))
+    centroids = jax.random.normal(jax.random.key(1), (64, 8)) * 0.3
+    retrieval = RetrievalDatabase(
+        params, centroids, RetrievalHeadSettings(nfeat=8),
+        ASMKSettings(capacity=8, max_images=2),  # tiny: IVF must grow too
+    )
+    slam = SLAM(model, cfg, HW, retrieval=retrieval)
+    result = slam.run(OracleDataset(n_frames, HW), verbose=False)
+
+    assert result.n_keyframes > 4, "soak should exceed the initial buffer"
+    assert slam.keyframes.capacity > 4
+    assert slam.graph.n_edges > 4 and slam.graph.capacity > 4
+    assert slam.retrieval.ivf.s.capacity > 8
+    assert slam.retrieval.ivf.n_entries > 8
+    # drift may cost reloc episodes; each must recover and the run must end
+    # in TRACKING (measured here: 1 reloc frame, recovered first try)
+    assert result.n_reloc <= 5
+    assert slam.mode == Mode.TRACKING
+    est = result.frame_poses[:, :3]
+    gt_t = gt[:, :3]
+    s, R, t = umeyama_alignment(est, gt_t)
+    aligned = (s * (R @ est.T)).T + t
+    ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt_t, axis=-1) ** 2)))
+    # repeated-reversal soaks carry real Sim3 scale drift; the bound guards
+    # "still localized in the map", not eval-grade accuracy
+    assert ate < 0.6, f"soak ATE {ate:.4f}"
