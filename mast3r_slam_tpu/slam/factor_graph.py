@@ -258,7 +258,12 @@ class FactorGraph:
 
 
 class MatchKwargs(dict):
-    """Hashable bag of matcher params (static under jit)."""
+    """Hashable bag of matcher params (static under jit).
+
+    Like TrackerSettings, every value here is compile-time constant: a new
+    combination of matcher knobs compiles a new `_add_factors_compute`.
+    Keep settings fixed within a session (see TrackerSettings docstring).
+    """
 
     def __init__(self, **kw):
         super().__init__(**kw)

@@ -170,7 +170,8 @@ class SLAM:
         cfg = self.cfg
         retrieval_inds: List[int] = []
         if self.retrieval is not None:
-            retrieval_inds = self.retrieval.update(
+            with self.timer.time("backend.retrieval"):
+                retrieval_inds = self.retrieval.update(
                     self.keyframes.get_frame(kf_idx),
                     add_after_query=True,
                     k=cfg["retrieval"]["k"],
@@ -184,12 +185,14 @@ class SLAM:
         kf_idxs = sorted(kf_idxs)
         if not kf_idxs:
             return
-        self.graph.add_factors(
-            kf_idxs,
-            [kf_idx] * len(kf_idxs),
-            self.cfg["local_opt"]["min_match_frac"],
-        )
-        self.graph.solve()
+        with self.timer.time("backend.add_factors"):
+            self.graph.add_factors(
+                kf_idxs,
+                [kf_idx] * len(kf_idxs),
+                self.cfg["local_opt"]["min_match_frac"],
+            )
+        with self.timer.time("backend.solve"):
+            self.graph.solve()
 
     def _relocalize(self, frame: Frame) -> bool:
         """Retrieval-driven relocalisation (main.py:28-71).
@@ -203,11 +206,12 @@ class SLAM:
 
     def _relocalize_locked(self, frame: Frame) -> bool:
         cfg = self.cfg
-        inds, pre = self.retrieval.query(
-            frame,
-            k=cfg["retrieval"]["k"],
-            min_thresh=cfg["retrieval"]["min_thresh"],
-        )
+        with self.timer.time("reloc.retrieval"):
+            inds, pre = self.retrieval.query(
+                frame,
+                k=cfg["retrieval"]["k"],
+                min_thresh=cfg["retrieval"]["min_thresh"],
+            )
         if not inds:
             return False
         kf_idx = self.keyframes.append(frame)

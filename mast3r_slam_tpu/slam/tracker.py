@@ -28,6 +28,15 @@ from .frame import Frame, Keyframes, fuse_pointmap
 
 
 class TrackerSettings(NamedTuple):
+    """Static jit argument: EVERY field (floats included) is baked into the
+    compiled `_track_compute`, so changing any value — not just the
+    shape-affecting ones — triggers a full recompile (~20-40s on the TPU
+    tunnel).  This is deliberate: thresholds live in registers/constants and
+    the gating compaction sizes specialize.  Treat tracker settings as fixed
+    for the life of a session; a serving process that wants to sweep a
+    threshold should expect one recompile per distinct setting tuple.
+    """
+
     # matching (config/base.yaml `matching:`)
     max_iter: int = 10
     lambda_init: float = 1e-8
