@@ -257,7 +257,9 @@ class Keyframes:
         self.C = self.C.at[idx].set(frame.C)
         self.n_fused = self.n_fused.at[idx].set(frame.n_fused)
         self.n_updates = self.n_updates.at[idx].set(frame.n_updates)
-        self.score = self.score.at[idx].set(frame.score)
+        # frame.score is a host float (f64): cast, or the f32 scatter warns
+        # (and will error in future jax) under standard dtype promotion
+        self.score = self.score.at[idx].set(jnp.float32(frame.score))
         self.feat = self.feat.at[idx].set(frame.feat[0])
         self.pos = self.pos.at[idx].set(frame.pos[0])
         self.uimgs[idx] = frame.uimg

@@ -81,6 +81,11 @@ def main():
     H, W = 384, 512
     N = H * W
     cfg = M.VIT_LARGE
+    # mirror bench.py: the speed profile's head compute dtype
+    if load_config("speed").get("engine", {}).get("head_dtype") == "bfloat16":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, head_dtype=jnp.bfloat16)
     grid = cfg.grid((H, W))
     params = M.init_params(jax.random.key(0), cfg)
     key = jax.random.key(1)
