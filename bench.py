@@ -57,10 +57,12 @@ def main():
     grid = cfg.grid((H, W))
 
     # liveness probe under a watchdog, then a generous compile window.
-    # The remote compile service has been observed to degrade to ~3-4 min
-    # for a TRIVIAL program (2026-08-19); both limits are sized for that
-    # state — the probe only has to distinguish "slow" from "wedged".
-    probe_guard = _watchdog(900)
+    # The remote compile service has been observed to degrade to ~15 min
+    # for a TRIVIAL program (2026-08-20; ~3-4 min on 2026-08-19) — both
+    # limits are sized for that state, with margin: the probe only has to
+    # distinguish "slow" from "wedged", and aborting a merely-slow session
+    # would record no benchmark at all.
+    probe_guard = _watchdog(2400)
     import numpy as _np
 
     _ = _np.asarray((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0])
