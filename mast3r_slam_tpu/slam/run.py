@@ -93,6 +93,11 @@ def main(argv=None):
                         help="force jax platform (e.g. cpu); needed because "
                              "TPU-tunnel hosts pre-select a platform at "
                              "interpreter startup")
+    parser.add_argument("--set", dest="overrides", action="append", default=[],
+                        metavar="DOTTED.KEY=VALUE",
+                        help="override a config value (repeatable), e.g. "
+                             "--set engine.mesh=8 --set tracking.Q_conf=1.5; "
+                             "values parse as YAML scalars")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -107,6 +112,16 @@ def main(argv=None):
     cfg = load_config(args.config)
     if args.calib:
         cfg = merge_config(cfg, {"use_calib": True})
+    for ov in args.overrides:
+        key, sep, raw = ov.partition("=")
+        if not sep:
+            parser.error(f"--set expects DOTTED.KEY=VALUE, got {ov!r}")
+        import yaml
+
+        patch = yaml.safe_load(raw)  # same scalar parsing as config files
+        for part in reversed(key.split(".")):
+            patch = {part: patch}
+        cfg = merge_config(cfg, patch)
 
     dataset = load_dataset(
         args.dataset,
