@@ -2,7 +2,7 @@
 print the top TPU ops by total device time.
 
 jax.profiler.trace works over the axon tunnel; the event stream lands in
-<dir>/plugins/profile/*/\*.trace.json.gz. We aggregate 'X' (complete) events
+<dir>/plugins/profile/*/<f>.trace.json.gz. We aggregate 'X' (complete) events
 on TensorCore tracks by op name over the LAST repetition only (steady
 state), so per-op times are per-execution.
 """
