@@ -32,12 +32,37 @@ LN_EPS = 1e-6  # croco.py:33 norm_layer eps
 # primitives
 # ---------------------------------------------------------------------------
 
+# How LN mean/var are reduced.  The encoder device profile (2026-08-20)
+# showed the VPU lane-reductions of the default two-pass form costing 2.2 ms
+# of the 5.1 ms ViT-L encode (98 convert_reduce_fusion events); "dot" moves
+# both reductions onto the MXU via a ones-vector matmul — same math as the
+# two-pass form up to f32 summation order (centered second pass: no
+# cancellation risk).  Module-level switch (not a threaded arg) because
+# layer_norm has 30+ call sites; set it BEFORE tracing/jit (engine reads
+# engine.ln_stats at model build).  See scripts/microbench_ln.py.
+LN_STATS = "twopass"
+
+
+def set_ln_stats(impl: str):
+    global LN_STATS
+    assert impl in ("twopass", "dot"), impl
+    LN_STATS = impl
+
+
 def layer_norm(p, x):
     """LayerNorm over the last axis; params/statistics in f32."""
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + LN_EPS)
+    if LN_STATS == "dot":
+        d = xf.shape[-1]
+        ones = jnp.ones((d, 1), jnp.float32)
+        mu = (xf @ ones) / d
+        c = xf - mu
+        var = ((c * c) @ ones) / d
+        y = c * jax.lax.rsqrt(var + LN_EPS)
+    else:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + LN_EPS)
     y = y * p["w"] + p["b"]
     return y.astype(x.dtype)
 

@@ -42,6 +42,9 @@ def build_slam(cfg, dataset, checkpoint=None, retrieval_checkpoint=None,
     attn_impl = cfg.get("engine", {}).get("attn_impl", "xla")
     if attn_impl != mcfg.attn_impl:
         mcfg = dataclasses.replace(mcfg, attn_impl=attn_impl)
+    from ..models import layers as _layers
+
+    _layers.set_ln_stats(cfg.get("engine", {}).get("ln_stats", "twopass"))
     if checkpoint and str(checkpoint).endswith(".npz"):
         from ..models.io import load_params
 

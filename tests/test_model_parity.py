@@ -169,3 +169,36 @@ def test_portrait_grid_parity(torch_model, jax_model, rng_module):
     np.testing.assert_allclose(
         np.asarray(X1), res1["pts3d"].numpy(), atol=1e-3, rtol=1e-3
     )
+
+
+def test_layer_norm_dot_stats_matches_twopass():
+    """engine.ln_stats=dot must match the default two-pass LN to f32
+    sum-reorder noise (same centered math, reductions on the MXU)."""
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.models import layers as L
+
+    rng = np.random.default_rng(3)
+    # offset + scale stress the reduction (non-zero mean, mixed magnitudes)
+    x = jnp.asarray(rng.normal(2.0, 5.0, size=(2, 768, 1024)).astype(np.float32))
+    p = {
+        "w": jnp.asarray(rng.normal(1.0, 0.1, size=(1024,)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(0.0, 0.1, size=(1024,)).astype(np.float32)),
+    }
+    ref = np.asarray(L.layer_norm(p, x))
+    L.set_ln_stats("dot")
+    try:
+        out = np.asarray(L.layer_norm(p, x))
+    finally:
+        L.set_ln_stats("twopass")
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+    # bf16 inputs (trunk dtype) round-trip through the same path
+    ref16 = np.asarray(L.layer_norm(p, x.astype(jnp.bfloat16)), dtype=np.float32)
+    L.set_ln_stats("dot")
+    try:
+        out16 = np.asarray(
+            L.layer_norm(p, x.astype(jnp.bfloat16)), dtype=np.float32
+        )
+    finally:
+        L.set_ln_stats("twopass")
+    np.testing.assert_allclose(out16, ref16, atol=5e-2, rtol=5e-2)
