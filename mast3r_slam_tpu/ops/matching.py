@@ -505,7 +505,7 @@ def _refine_coarse_subset(Dpad, D21q, u0, v0, H, W, max_rd, radius, dilations):
         ).reshape(B, -1, ncand)
         scores = jnp.where(inside, scores, _SCORE_MIN)
 
-        k = jnp.argmax(scores, axis=-1)
+        k = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # int64 under x64
         u0 = u0 + (k % diam - radius) * d
         v0 = v0 + (k // diam - radius) * d
     return u0, v0
@@ -652,5 +652,7 @@ def match(
                 D11, D21_flat, p1, radius=radius, dilation_max=dilation_max
             )
 
-    idx_1_to_2 = pixel_to_lin(p1, W)
+    # pin int32 regardless of x64 mode: the edge store scatters these into
+    # int32 SoA buffers and x64-promoted int64 scatters error in future jax
+    idx_1_to_2 = pixel_to_lin(p1, W).astype(jnp.int32)
     return idx_1_to_2, valid[..., None]
