@@ -55,9 +55,16 @@ def layer_norm(p, x):
     if LN_STATS == "dot":
         d = xf.shape[-1]
         ones = jnp.ones((d, 1), jnp.float32)
-        mu = (xf @ ones) / d
+        # precision=HIGHEST: TPU DEFAULT-precision f32 dots truncate operands
+        # to bf16 in the MXU (see CLAUDE.md perf rules), which would give
+        # ~1e-3 LN drift — NOT sum-reorder noise.  HIGHEST keeps true-f32
+        # accumulation via the MXU multi-pass scheme; whether that still
+        # beats the VPU two-pass reduction is what scripts/microbench_ln.py
+        # measures on device.
+        hi = jax.lax.Precision.HIGHEST
+        mu = jnp.matmul(xf, ones, precision=hi) / d
         c = xf - mu
-        var = ((c * c) @ ones) / d
+        var = jnp.matmul(c * c, ones, precision=hi) / d
         y = c * jax.lax.rsqrt(var + LN_EPS)
     else:
         mu = jnp.mean(xf, axis=-1, keepdims=True)

@@ -119,6 +119,11 @@ def main(argv=None):
         key, sep, raw = ov.partition("=")
         if not sep:
             parser.error(f"--set expects DOTTED.KEY=VALUE, got {ov!r}")
+        if not raw:
+            # 'KEY=' would yaml-parse to None and silently null the key,
+            # which downstream cfg.get defaults cannot rescue
+            parser.error(f"--set {key}= has an empty value; pass an explicit "
+                         f"YAML scalar (use '{key}=null' to null the key)")
         import yaml
 
         patch = yaml.safe_load(raw)  # same scalar parsing as config files

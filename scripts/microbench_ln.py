@@ -54,6 +54,24 @@ def ln_onepass(p, x):
 
 
 def ln_dot2(p, x):
+    """Both reductions as MXU dots.  precision=HIGHEST is mandatory for
+    correctness on TPU: DEFAULT truncates the f32 operands to bf16 in the
+    MXU, giving ~1e-3 LN drift instead of sum-reorder noise (ADVICE r2)."""
+    xf = x.astype(jnp.float32)
+    d = xf.shape[-1]
+    ones = jnp.ones((d, 1), jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    mu = jnp.matmul(xf, ones, precision=hi) / d
+    c = xf - mu
+    var = jnp.matmul(c * c, ones, precision=hi) / d
+    y = c * jax.lax.rsqrt(var + LN_EPS)
+    y = y * p["w"] + p["b"]
+    return y.astype(x.dtype)
+
+
+def ln_dot2_default(p, x):
+    """dot2 at DEFAULT precision — perf reference only: numerically WRONG on
+    TPU (bf16-truncated operands), printed drift vs twopass quantifies it."""
     xf = x.astype(jnp.float32)
     d = xf.shape[-1]
     ones = jnp.ones((d, 1), jnp.float32)
@@ -84,6 +102,7 @@ VARIANTS = {
     "twopass": ln_twopass,
     "onepass": ln_onepass,
     "dot2": ln_dot2,
+    "dot2_def": ln_dot2_default,
     "dot1": ln_dot1,
 }
 
@@ -98,12 +117,16 @@ def main():
     for name, impl in VARIANTS.items():
         def make(impl):
             def run(p, im):
-                old = L.layer_norm
-                L.layer_norm = impl
+                # patch BOTH namespaces: mast3r.py binds layer_norm by
+                # `from .layers import layer_norm`, so patching only L
+                # leaves the final enc_norm (mast3r.py:291) on the old
+                # form (ADVICE r2)
+                old_l, old_m = L.layer_norm, M.layer_norm
+                L.layer_norm = M.layer_norm = impl
                 try:
                     out = M.encode_image(p, cfg, im)[0]
                 finally:
-                    L.layer_norm = old
+                    L.layer_norm, M.layer_norm = old_l, old_m
                 return out
             return jax.jit(run)
         fns[name] = make(impl)
