@@ -77,7 +77,9 @@ class FactorGraph:
         B = len(ii)
         if B == 0:
             return False
-        kf = self.keyframes
+        # snapshot: the symmetric decode + matching below is the backend's
+        # single most expensive stretch — it must not hold any lock
+        snap = self.keyframes.snapshot()
         ii_arr = np.asarray(ii, dtype=np.int32)
         jj_arr = np.asarray(jj, dtype=np.int32)
 
@@ -91,12 +93,14 @@ class FactorGraph:
             ii_b = np.concatenate([ii_arr, np.zeros(Bpad - B, np.int32)])
             jj_b = np.concatenate([jj_arr, np.zeros(Bpad - B, np.int32)])
             feats = shard_edges(
-                self.mesh, kf.feat[ii_b], kf.pos[ii_b], kf.feat[jj_b], kf.pos[jj_b]
+                self.mesh, snap.feat[ii_b], snap.pos[ii_b],
+                snap.feat[jj_b], snap.pos[jj_b]
             )
             res = self.model.symmetric(*feats)
         else:
             res = self.model.symmetric(
-                kf.feat[ii_arr], kf.pos[ii_arr], kf.feat[jj_arr], kf.pos[jj_arr]
+                snap.feat[ii_arr], snap.pos[ii_arr],
+                snap.feat[jj_arr], snap.pos[jj_arr]
             )
         out = _add_factors_compute(
             self.img_hw,
@@ -185,11 +189,19 @@ class FactorGraph:
 
     def solve(self, mode: str = None):
         """Two-way edge expansion + global GN + pose write-back
-        (global_opt.py:104-213)."""
+        (global_opt.py:104-213).
+
+        Concurrency: runs on a keyframe-store SNAPSHOT, entirely lock-free;
+        the solved poses are installed by ``write_back_poses`` under a brief
+        lock with a generation check (a reloc pop invalidates the write-back,
+        appends since the snapshot keep their tracked poses — the staleness
+        the reference tolerates across its process boundary, main.py:225).
+        """
         if mode is None:
             mode = "calib" if self.cfg["use_calib"] else "rays"
         E = self.n_edges
-        n_kf = len(self.keyframes)
+        snap = self.keyframes.snapshot()
+        n_kf = snap.n
         if E == 0 or n_kf <= self.settings.pin:
             return
         # mesh mode shards edges, so the bucket floor is the mesh size
@@ -214,11 +226,10 @@ class FactorGraph:
         Q = jnp.zeros((Epad, self.N, 1), dtype=jnp.float32)
         Q = Q.at[:E].set(self.Q_ii2jj[:E]).at[E : 2 * E].set(self.Q_jj2ii[:E])
 
-        kf = self.keyframes
-        Twc = kf.T_WC[:Ppad]
-        Xs = kf.X[:Ppad]
-        Cs = kf.C[:Ppad] / jnp.maximum(
-            kf.n_fused[:Ppad, None, None].astype(jnp.float32), 1.0
+        Twc = snap.T_WC[:Ppad]
+        Xs = snap.X[:Ppad]
+        Cs = snap.C[:Ppad] / jnp.maximum(
+            snap.n_fused[:Ppad, None, None].astype(jnp.float32), 1.0
         )
         if mode == "calib":
             from ..geometry import constrain_points_to_ray
@@ -253,8 +264,10 @@ class FactorGraph:
                 mode,
             )
         # write back optimized poses for all real keyframes except pinned
-        pin = self.settings.pin
-        kf.T_WC = kf.T_WC.at[pin:n_kf].set(Twc_new[pin:n_kf])
+        # (brief lock + generation check inside)
+        self.keyframes.write_back_poses(
+            self.settings.pin, n_kf, snap.generation, Twc_new
+        )
 
 
 class MatchKwargs(dict):

@@ -11,8 +11,9 @@ shardable across a mesh later.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from enum import IntEnum
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -184,11 +185,44 @@ class Frame:
 # Keyframe store (SoA, fixed capacity)
 # ---------------------------------------------------------------------------
 
+class KeyframeSnapshot(NamedTuple):
+    """Consistent view of the store taken under its lock.
+
+    Because jnp arrays are immutable, a snapshot is just the attribute
+    references — the lock only guarantees they come from the same moment
+    (no torn multi-array view across a concurrent append/write-back).  This
+    is what lets backend tasks run LOCK-FREE on hundreds-of-ms device work:
+    the reference holds its RLock only around ring-buffer accesses for the
+    same reason (frame.py:222, main.py:225).
+    """
+
+    n: int
+    generation: int
+    T_WC: jnp.ndarray
+    X: jnp.ndarray
+    C: jnp.ndarray
+    n_fused: jnp.ndarray
+    n_updates: jnp.ndarray
+    score: jnp.ndarray
+    feat: jnp.ndarray
+    pos: jnp.ndarray
+    K: Optional[jnp.ndarray]
+
+
 class Keyframes:
     """Device-resident SoA keyframe buffer (cap slots, frame.py:220-327).
 
     All arrays are preallocated with static shapes; ``n`` is the host-side
     fill count.  Functional updates keep every jit signature stable.
+
+    Thread safety: the store carries its OWN lock (the role of the
+    reference's per-structure manager RLock, frame.py:222).  Every mutating
+    method takes it; readers that need a consistent multi-array view call
+    :meth:`snapshot`.  The lock is held only for reference swaps — never
+    across device compute — so frontend tracking and backend optimisation
+    genuinely overlap.  ``generation`` increments whenever an existing slot's
+    identity changes (``pop_last``), invalidating in-flight backend
+    write-backs.
     """
 
     def __init__(self, capacity: int, num_pixels: int, num_patches: int,
@@ -196,6 +230,8 @@ class Keyframes:
         self.capacity = capacity
         self.num_pixels = num_pixels
         self.n = 0
+        self.lock = threading.RLock()
+        self.generation = 0
         self.frame_id = np.full((capacity,), -1, dtype=np.int64)
         self.T_WC = jnp.tile(sim3.identity(dtype=dtype), (capacity, 1))
         self.X = jnp.zeros((capacity, num_pixels, 3), dtype=dtype)
@@ -213,11 +249,46 @@ class Keyframes:
         return self.n
 
     def append(self, frame: Frame) -> int:
-        idx = self.n
-        self._ensure_capacity(idx + 1)
-        self.set_frame(idx, frame)
-        self.n = idx + 1
-        return idx
+        with self.lock:
+            idx = self.n
+            self._ensure_capacity(idx + 1)
+            self.set_frame(idx, frame)
+            self.n = idx + 1
+            return idx
+
+    def snapshot(self) -> KeyframeSnapshot:
+        """Consistent reference-view of the store (see class docstring)."""
+        with self.lock:
+            return KeyframeSnapshot(
+                n=self.n,
+                generation=self.generation,
+                T_WC=self.T_WC,
+                X=self.X,
+                C=self.C,
+                n_fused=self.n_fused,
+                n_updates=self.n_updates,
+                score=self.score,
+                feat=self.feat,
+                pos=self.pos,
+                K=self.K,
+            )
+
+    def write_back_poses(self, pin: int, n_snapshot: int, generation: int,
+                         T_new) -> bool:
+        """Install solved poses [pin:n_snapshot] from a backend task.
+
+        Rejected (returns False) when the snapshot's slots no longer mean the
+        same keyframes (a pop_last bumped ``generation``).  Appends since the
+        snapshot are fine: slots < n_snapshot are untouched by append, and the
+        newer keyframes keep their tracked poses — the same staleness the
+        reference tolerates across its process boundary (main.py:225).
+        """
+        with self.lock:
+            if self.generation != generation or self.n < n_snapshot:
+                return False
+            self.T_WC = self.T_WC.at[pin:n_snapshot].set(
+                jnp.asarray(T_new[pin:n_snapshot], self.T_WC.dtype))
+            return True
 
     def _ensure_capacity(self, needed: int):
         """Overflow policy for long-video ingest: the SoA doubles (pow2, so
@@ -225,6 +296,8 @@ class Keyframes:
         the reference's fixed 512-slot cap (frame.py:221)."""
         if needed <= self.capacity:
             return
+        # caller (append) already holds self.lock; growth swaps every
+        # reference so it must be atomic wrt snapshot()
         new_cap = self.capacity
         while new_cap < needed:
             new_cap *= 2
@@ -251,57 +324,71 @@ class Keyframes:
         self.capacity = new_cap
 
     def set_frame(self, idx: int, frame: Frame):
+        # cast every incoming array at the store boundary: host-side frames
+        # can carry f64/int64 (x64 mode, numpy defaults) and a mismatched
+        # scatter warns today / errors in future jax
+        with self.lock:
+            self._set_frame_locked(idx, frame)
+
+    def _set_frame_locked(self, idx: int, frame: Frame):
         self.frame_id[idx] = frame.frame_id
-        self.T_WC = self.T_WC.at[idx].set(frame.T_WC)
-        self.X = self.X.at[idx].set(frame.X_canon)
-        self.C = self.C.at[idx].set(frame.C)
-        self.n_fused = self.n_fused.at[idx].set(frame.n_fused)
-        self.n_updates = self.n_updates.at[idx].set(frame.n_updates)
-        # frame.score is a host float (f64): cast, or the f32 scatter warns
-        # (and will error in future jax) under standard dtype promotion
+        self.T_WC = self.T_WC.at[idx].set(
+            jnp.asarray(frame.T_WC, self.T_WC.dtype))
+        self.X = self.X.at[idx].set(jnp.asarray(frame.X_canon, self.X.dtype))
+        self.C = self.C.at[idx].set(jnp.asarray(frame.C, self.C.dtype))
+        self.n_fused = self.n_fused.at[idx].set(jnp.int32(frame.n_fused))
+        self.n_updates = self.n_updates.at[idx].set(jnp.int32(frame.n_updates))
         self.score = self.score.at[idx].set(jnp.float32(frame.score))
-        self.feat = self.feat.at[idx].set(frame.feat[0])
-        self.pos = self.pos.at[idx].set(frame.pos[0])
+        self.feat = self.feat.at[idx].set(
+            jnp.asarray(frame.feat[0], self.feat.dtype))
+        self.pos = self.pos.at[idx].set(jnp.asarray(frame.pos[0], self.pos.dtype))
         self.uimgs[idx] = frame.uimg
 
     def get_frame(self, idx: int) -> Frame:
-        f = Frame(
+        s = self.snapshot()
+        return Frame(
             frame_id=int(self.frame_id[idx]),
             img=None,
-            T_WC=self.T_WC[idx],
-            X_canon=self.X[idx],
-            C=self.C[idx],
-            n_fused=int(self.n_fused[idx]),
-            n_updates=int(self.n_updates[idx]),
-            score=float(self.score[idx]),
-            feat=self.feat[idx][None],
-            pos=self.pos[idx][None],
-            K=self.K,
+            T_WC=s.T_WC[idx],
+            X_canon=s.X[idx],
+            C=s.C[idx],
+            n_fused=int(s.n_fused[idx]),
+            n_updates=int(s.n_updates[idx]),
+            score=float(s.score[idx]),
+            feat=s.feat[idx][None],
+            pos=s.pos[idx][None],
+            K=s.K,
             uimg=self.uimgs[idx],
         )
-        return f
 
     def pop_last(self):
-        self.n -= 1
+        with self.lock:
+            self.n -= 1
+            # slot identity changed: any in-flight backend write-back against
+            # an older snapshot must be rejected
+            self.generation += 1
 
     def last_idx(self) -> int:
         return self.n - 1
 
     def update_pose(self, idx: int, T_WC):
-        self.T_WC = self.T_WC.at[idx].set(T_WC)
+        with self.lock:
+            self.T_WC = self.T_WC.at[idx].set(T_WC)
 
     def update_poses(self, idxs, T_WCs):
-        self.T_WC = self.T_WC.at[jnp.asarray(idxs)].set(T_WCs)
+        with self.lock:
+            self.T_WC = self.T_WC.at[jnp.asarray(idxs)].set(T_WCs)
 
     def update_pointmap(self, idx: int, X, C, n_fused, n_updates=None,
                         score=None):
-        self.X = self.X.at[idx].set(X)
-        self.C = self.C.at[idx].set(C)
-        self.n_fused = self.n_fused.at[idx].set(n_fused)
-        if n_updates is not None:
-            self.n_updates = self.n_updates.at[idx].set(n_updates)
-        if score is not None:
-            self.score = self.score.at[idx].set(score)
+        with self.lock:
+            self.X = self.X.at[idx].set(X)
+            self.C = self.C.at[idx].set(C)
+            self.n_fused = self.n_fused.at[idx].set(n_fused)
+            if n_updates is not None:
+                self.n_updates = self.n_updates.at[idx].set(n_updates)
+            if score is not None:
+                self.score = self.score.at[idx].set(score)
 
     def average_conf(self, idx: int):
         return self.C[idx] / jnp.maximum(self.n_fused[idx].astype(self.C.dtype), 1.0)

@@ -93,10 +93,16 @@ class SLAM:
         ))  # 0 = auto (~<=8k points per keyframe payload)
 
         # frontend/backend overlap (single_thread: False, the reference's
-        # default live mode, main.py:225): global-optimisation tasks run on a
-        # worker thread; one lock guards keyframe-store mutation (the role
-        # the reference's manager RLock plays, frame.py:222)
-        self.lock = threading.RLock()
+        # default live mode, main.py:225).  Two locks with DISJOINT roles:
+        #   * keyframes.lock (inside the store) — brief, guards SoA reference
+        #     swaps + consistent snapshots; never held across device compute
+        #     (the reference's ring-buffer RLock scope, frame.py:222);
+        #   * backend_lock — serializes whole backend tasks against
+        #     RELOCALIZATION (both mutate the factor graph + retrieval DB;
+        #     the reference serializes them on the backend process's task
+        #     loop, main.py:87-143).  Tracking NEVER takes backend_lock, so
+        #     it keeps running while a backend task is in flight.
+        self.backend_lock = threading.RLock()
         self.single_thread = bool(cfg.get("single_thread", True))
         self._tasks: Optional[queue.Queue] = None
         self._worker: Optional[threading.Thread] = None
@@ -161,12 +167,14 @@ class SLAM:
     def _backend_update(self, kf_idx: int):
         """One global-optimisation task (run_backend, main.py:96-143).
 
-        Whole task holds the store lock in async mode: it touches the
-        retrieval DB, the factor graph, and keyframe poses."""
-        with self.lock:
-            self._backend_update_locked(kf_idx)
+        Holds only ``backend_lock`` (serialization vs reloc) — the keyframe
+        store is read through immutable snapshots and written back under its
+        own brief lock, so TRACKING overlaps the whole task (retrieval +
+        symmetric decode + global solve)."""
+        with self.backend_lock:
+            self._backend_update_impl(kf_idx)
 
-    def _backend_update_locked(self, kf_idx: int):
+    def _backend_update_impl(self, kf_idx: int):
         cfg = self.cfg
         retrieval_inds: List[int] = []
         if self.retrieval is not None:
@@ -197,11 +205,13 @@ class SLAM:
     def _relocalize(self, frame: Frame) -> bool:
         """Retrieval-driven relocalisation (main.py:28-71).
 
-        The reference holds the keyframe lock for the whole append/try/pop
-        dance (main.py:29-31); so do we."""
+        Runs under ``backend_lock``: the append/try/pop dance mutates the
+        factor graph and retrieval DB, which an in-flight backend task may
+        also be touching (the reference serializes both on the backend
+        process, main.py:87-92)."""
         if self.retrieval is None:
             return False
-        with self.lock:
+        with self.backend_lock:
             return self._relocalize_locked(frame)
 
     def _relocalize_locked(self, frame: Frame) -> bool:
@@ -255,8 +265,7 @@ class SLAM:
                 mode=self.cfg["tracking"]["filtering_mode"],
                 score_mode=self.cfg["tracking"]["filtering_score"],
             )
-            with self.lock:
-                kf_idx = self.keyframes.append(frame)
+            kf_idx = self.keyframes.append(frame)  # store self-locks
             if self.retrieval is not None:
                 self._submit_backend(0)
             self.mode = Mode.TRACKING
@@ -279,16 +288,16 @@ class SLAM:
             self._log(timestamp, frame)
             return frame
 
-        # TRACKING
-        with self.timer.time("tracker.track"), self.lock:
+        # TRACKING — no engine-level lock: the tracker snapshots the store
+        # internally, so this overlaps any in-flight backend task
+        with self.timer.time("tracker.track"):
             new_kf, try_reloc = self.tracker.track(frame)
         if try_reloc:
             self.mode = Mode.RELOC
             self._log(timestamp, frame)
             return frame
         if new_kf:
-            with self.lock:
-                kf_idx = self.keyframes.append(frame)
+            kf_idx = self.keyframes.append(frame)
             self._submit_backend(kf_idx)
             self._emit_keyframe(kf_idx, frame)
         self._log(timestamp, frame)
@@ -323,9 +332,13 @@ class SLAM:
             return
 
         def build():
-            X = np.asarray(self.keyframes.X[kf_idx])
-            C = np.asarray(self.keyframes.average_conf(kf_idx)).reshape(-1)
-            T = np.asarray(self.keyframes.T_WC[kf_idx])
+            s = self.keyframes.snapshot()  # consistent (X, C, T) view
+            X = np.asarray(s.X[kf_idx])
+            C = np.asarray(
+                s.C[kf_idx] / jnp.maximum(
+                    s.n_fused[kf_idx].astype(s.C.dtype), 1.0)
+            ).reshape(-1)
+            T = np.asarray(s.T_WC[kf_idx])
             stride = self.viz_point_stride or max(1, len(X) // 8192)
             Xw = np.asarray(
                 sim3.act(jnp.asarray(T), jnp.asarray(X[::stride]))
@@ -380,7 +393,12 @@ class SLAM:
             if item is None:
                 break
             i, timestamp, pre = item
-            frame = self.process_frame(i, timestamp, last_T_WC=last_T, pre=pre)
+            # frame.latency: end-to-end per-frame wall time INCLUDING any
+            # stalls caused by a concurrent backend task — its p95/jitter
+            # is the observable proof that async mode overlaps (VERDICT r2)
+            with self.timer.time("frame.latency"):
+                frame = self.process_frame(i, timestamp, last_T_WC=last_T, pre=pre)
+                np.asarray(frame.T_WC)  # fence: include device completion
             last_T = frame.T_WC
             if verbose and i % 30 == 0 and i > 0:
                 fps = i / (time.time() - t0)

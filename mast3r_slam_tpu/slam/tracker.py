@@ -266,13 +266,22 @@ class FrameTracker:
         self.idx_f2k = jnp.arange(N, dtype=jnp.int32)
 
     def track(self, frame: Frame):
-        """Returns (new_kf, try_reloc)."""
-        kf_idx = self.keyframes.last_idx()
+        """Returns (new_kf, try_reloc).
+
+        Concurrency: all device work here (asymmetric inference, the jitted
+        `_track_compute`, the stats readback) runs on an immutable SNAPSHOT
+        of the keyframe store — the store lock is held only inside
+        ``snapshot()`` and ``update_pointmap`` (reference swaps), so a
+        backend task's global solve never stalls tracking (the reference's
+        lock scope, frame.py:222 / main.py:225).
+        """
         kf = self.keyframes
-        K = kf.K if self.ts.use_calib else jnp.eye(3, dtype=jnp.float32)
+        snap = kf.snapshot()
+        kf_idx = snap.n - 1
+        K = snap.K if self.ts.use_calib else jnp.eye(3, dtype=jnp.float32)
 
         (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = self.model.asymmetric(
-            frame.feat, frame.pos, kf.feat[kf_idx][None], kf.pos[kf_idx][None]
+            frame.feat, frame.pos, snap.feat[kf_idx][None], snap.pos[kf_idx][None]
         )
 
         N = self.img_hw[0] * self.img_hw[1]
@@ -289,13 +298,13 @@ class FrameTracker:
             jnp.asarray(frame.n_fused, dtype=jnp.int32),
             jnp.asarray(frame.n_updates, dtype=jnp.int32),
             jnp.asarray(frame.score, dtype=jnp.float32),
-            kf.X[kf_idx],
-            kf.C[kf_idx],
-            kf.n_fused[kf_idx],
-            kf.n_updates[kf_idx],
-            kf.score[kf_idx],
+            snap.X[kf_idx],
+            snap.C[kf_idx],
+            snap.n_fused[kf_idx],
+            snap.n_updates[kf_idx],
+            snap.score[kf_idx],
             frame.T_WC,
-            kf.T_WC[kf_idx],
+            snap.T_WC[kf_idx],
             self.idx_f2k,
             K,
         )
@@ -312,7 +321,8 @@ class FrameTracker:
         if match_frac < self.ts.min_match_frac or not gn_ok:
             return False, True
 
-        # commit frame + keyframe state
+        # commit frame + keyframe state (brief lock inside update_pointmap;
+        # only tracking fuses pointmaps, so the slot cannot have torn)
         frame.X_canon = out["frame_X"]
         frame.C = out["frame_C"]
         frame.n_fused = int(n_fused)

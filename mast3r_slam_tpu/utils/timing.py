@@ -59,10 +59,15 @@ class StageTimer:
             if not buf:
                 continue
             arr = np.asarray(buf)
+            p50 = float(np.percentile(arr, 50) * 1e3)
+            p95 = float(np.percentile(arr, 95) * 1e3)
             out[name] = {
                 "mean_ms": float(arr.mean() * 1e3),
-                "p50_ms": float(np.percentile(arr, 50) * 1e3),
-                "p95_ms": float(np.percentile(arr, 95) * 1e3),
+                "p50_ms": p50,
+                "p95_ms": p95,
+                # latency jitter: how much the tail departs from the typical
+                # frame — the stat that exposes backend-induced stalls
+                "jitter_ms": p95 - p50,
                 "count": int(len(arr)),
             }
         return out
