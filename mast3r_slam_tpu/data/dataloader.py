@@ -334,9 +334,11 @@ def resize_img_transform(H, W, img_size):
     res = resize_img(np.zeros((H, W, 3), dtype=np.float32), img_size)
     h, w = res["true_shape"][0]
     long_edge = max(W, H)
-    scale = img_size / long_edge if img_size == 512 else None
-    if scale is None:
+    if img_size == 224:
+        # the 224 square-crop path scales the SHORT side (utils/image.py);
+        # unused in SLAM (reference always runs 512, mast3r_utils.py:247)
         raise NotImplementedError("224 path unused in SLAM")
+    scale = img_size / long_edge
     W2, H2 = int(round(W * scale)), int(round(H * scale))
     scale_w = W / W2
     scale_h = H / H2

@@ -72,7 +72,12 @@ def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False):
     """
     import PIL.Image
 
-    assert size in (224, 512)
+    # reference asserts size in (224, 512) (mast3r_utils.py:247) because its
+    # checkpoints ship at those resolutions; the resize/crop arithmetic is
+    # valid at any /16-compatible size, which smaller-footprint deployments
+    # (and the CPU eval rehearsal) use — keep 224's square-crop special case,
+    # treat everything else like the 512 path
+    assert size == 224 or size >= 16, size
     pil = PIL.Image.fromarray(np.uint8(np.clip(img, 0, 1) * 255))
     W1, H1 = pil.size
     long_edge = max(W1, H1)
