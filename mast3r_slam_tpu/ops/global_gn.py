@@ -47,6 +47,28 @@ class GlobalGNSettings(NamedTuple):
     huber_k: float = 1.345
     pin: int = 1
     edge_batch: int = 8
+    # linear-solver policy (VERDICT r2 item 6): the dense normal equations
+    # scatter is O(M^2) memory with an O(M^3) Cholesky — fine to the
+    # reference's 512-keyframe cap, ruinous for the growth policy's long
+    # videos.  "auto" uses the dense Cholesky up to `dense_max_poses` free
+    # poses and the block-sparse PCG (O(E) memory) beyond.
+    solver: str = "auto"          # "auto" | "dense" | "pcg"
+    # knee measured on long-chain graphs (scripts/microbench_solve_scale.py,
+    # CPU 2026-08-21): the f32 dense Cholesky goes indefinite (ok=False,
+    # solve silently skipped) from M=256 up, while PCG is both faster
+    # (51 vs 97 ms at M=256) and more accurate — so the dense direct solve
+    # is only kept for small graphs where it is exact and cheapest
+    dense_max_poses: int = 128
+    pcg_iters: int = 96
+    pcg_tol: float = 1e-7
+    # relative Levenberg damping of the PCG system: long chains make the
+    # pose Hessian's condition number grow ~O(M^2) (1D-Laplacian-like), past
+    # what f32 CG can solve (the reference sidesteps this by solving in f64
+    # on the CPU, gn_kernels.cu:73).  Damping bounds the condition number;
+    # fixed points are unchanged (g=0 -> dx=0), steps are slightly shortened.
+    # Measured at M=1024: undamped CG *diverges* (|dx| grows with CG
+    # iterations); 1e-4 converges monotonically.
+    pcg_damping: float = 1e-4
 
     @classmethod
     def from_config(cls, cfg) -> "GlobalGNSettings":
@@ -64,6 +86,11 @@ class GlobalGNSettings(NamedTuple):
             pixel_border=lo["pixel_border"],
             depth_eps=lo["depth_eps"],
             pin=lo["pin"],
+            solver=lo.get("solver", "auto"),
+            dense_max_poses=lo.get("dense_max_poses", 128),
+            pcg_iters=lo.get("pcg_iters", 96),
+            pcg_tol=lo.get("pcg_tol", 1e-7),
+            pcg_damping=lo.get("pcg_damping", 1e-4),
         )
 
 
@@ -321,6 +348,96 @@ def _assemble_and_solve(H_e, g_e, ii, jj, num_poses: int, pin: int):
     return dx.reshape(M, 7), ok
 
 
+def _assemble_and_solve_pcg(H_e, g_e, ii, jj, num_poses: int, pin: int,
+                            iters: int, tol: float, damping: float = 1e-4):
+    """Block-sparse normal equations solved by preconditioned CG.
+
+    Never materialises the (M, M) block matrix: the operator is applied
+    edge-wise (gather 7-vectors, multiply 7x7 blocks, scatter-add), so memory
+    is O(E + M) and each CG iteration costs ~E * 2 * 49 MACs.  Block-Jacobi
+    (per-pose 7x7 Cholesky) preconditioning handles the f32 conditioning the
+    dense path solves with scalar Jacobi scaling.  This is the structural
+    equivalent of the reference's `SparseBlock` sparse Cholesky
+    (gn_kernels.cu:57-159) — kept on-device instead of the GPU->CPU->GPU
+    roundtrip, and iterative instead of direct so it scales past the
+    reference's 512-keyframe cap.
+    """
+    M = num_poses - pin
+    H_e = H_e.astype(jnp.float32)  # pin f32: x64 callers must not leak f64
+    g_e = g_e.astype(jnp.float32)
+    io = jnp.where(ii - pin >= 0, ii - pin, M)
+    jo = jnp.where(jj - pin >= 0, jj - pin, M)
+
+    # rhs: solve (H + lam diag) dx = -g  (same sign convention as dense)
+    b = jnp.zeros((M + 1, 7), dtype=jnp.float32)
+    b = b.at[io].add(g_e).at[jo].add(-g_e)  # -(gbig): gbig had -g at io
+    b = b[:M]
+
+    # block diagonal D[m] = sum of H_e over edges touching pose m, with the
+    # relative Levenberg damping folded in (both operator and preconditioner
+    # see the damped diagonal, so CG solves a consistent PD system)
+    D = jnp.zeros((M + 1, 7, 7), dtype=jnp.float32)
+    D = D.at[io].add(H_e).at[jo].add(H_e)
+    D = D[:M]
+    tr = jnp.trace(D, axis1=-2, axis2=-1)[:, None, None] / 7.0
+    D = D + (damping + 1e-6) * jnp.maximum(tr, 1e-12) * jnp.eye(
+        7, dtype=jnp.float32
+    )
+
+    # block-Jacobi preconditioner: factor each (damped) 7x7 block once
+    Lp = jax.vmap(lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0])(D)
+
+    def prec(r):  # (M, 7) -> (M, 7)
+        return jax.vmap(
+            lambda Lb, rb: jax.scipy.linalg.cho_solve((Lb, True), rb)
+        )(Lp, r)
+
+    def A_mv(x):  # (M, 7) -> (M, 7): (D + offdiag) x
+        xp = jnp.concatenate([x, jnp.zeros((1, 7), dtype=x.dtype)])
+        y = jnp.einsum("mij,mj->mi", D, x, preferred_element_type=jnp.float32)
+        # off-diagonal blocks are -H_e at (io, jo) and (jo, io); H_e = H_e^T
+        yi = -jnp.einsum("eij,ej->ei", H_e, xp[jo],
+                         preferred_element_type=jnp.float32)
+        yj = -jnp.einsum("eij,ej->ei", H_e, xp[io],
+                         preferred_element_type=jnp.float32)
+        acc = jnp.zeros((M + 1, 7), dtype=jnp.float32)
+        acc = acc.at[io].add(yi).at[jo].add(yj)
+        return y + acc[:M]
+
+    def dot(a, b_):
+        return jnp.vdot(a, b_)
+
+    b_norm2 = dot(b, b)
+    tol2 = (tol * tol) * jnp.maximum(b_norm2, 1e-30)
+
+    x0 = jnp.zeros((M, 7), dtype=jnp.float32)
+    r0 = b
+    z0 = prec(r0)
+    p0 = z0
+
+    def cond(state):
+        _, r, _, _, rz, it = state
+        return (it < iters) & (dot(r, r) > tol2) & jnp.isfinite(rz)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = A_mv(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, dot(r0, z0), jnp.asarray(0, jnp.int32))
+    )
+    ok = jnp.isfinite(x).all()
+    return jnp.where(ok, x, 0.0), ok
+
+
 @partial(jax.jit, static_argnames=("settings", "mode", "img_hw"))
 def gauss_newton_poses(
     Twc,
@@ -359,13 +476,25 @@ def gauss_newton_poses(
             Twc_, K, img_hw, settings, edge
         )
 
+    # static solver choice (P is a compile-time shape): dense Cholesky up to
+    # the knee, block-sparse PCG beyond (see GlobalGNSettings.solver)
+    use_pcg = settings.solver == "pcg" or (
+        settings.solver == "auto" and (P - settings.pin) > settings.dense_max_poses
+    )
+
     def one_iter(Twc_):
         H_e, g_e = jax.lax.map(
             partial(block_fn, Twc_),
             (ii, jj, Xi_all, Xj_all, sq_all, ut_all, vt_all),
             batch_size=settings.edge_batch,
         )
-        dx, ok = _assemble_and_solve(H_e, g_e, ii, jj, P, settings.pin)
+        if use_pcg:
+            dx, ok = _assemble_and_solve_pcg(
+                H_e, g_e, ii, jj, P, settings.pin,
+                settings.pcg_iters, settings.pcg_tol, settings.pcg_damping,
+            )
+        else:
+            dx, ok = _assemble_and_solve(H_e, g_e, ii, jj, P, settings.pin)
         # retract non-pinned poses (pose_retr_kernel, gn_kernels.cu:415-453)
         dx_full = jnp.concatenate(
             [jnp.zeros((settings.pin, 7), dtype=dx.dtype), dx], axis=0
