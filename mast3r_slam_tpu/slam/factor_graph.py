@@ -42,6 +42,14 @@ class FactorGraph:
         self.settings = GlobalGNSettings.from_config(cfg)
         self.keyframes = keyframes
         self.img_hw = img_hw
+        # pipeline mode: the keyframe store's pointmap side is committed to
+        # the tracker chip; edge fields feed the same solve, so they are
+        # committed there too (transfer once at add time, off the hot path)
+        self._dev = (
+            (lambda a: jax.device_put(a, keyframes.device))
+            if getattr(keyframes, "device", None) is not None
+            else (lambda a: a)
+        )
         # Optional jax.sharding.Mesh: when set, solve() runs the edge-sharded
         # distributed GN (parallel/sharded_ba.py) and add_factors shards the
         # symmetric-decode batch over the same `edges` axis.  This is the
@@ -126,12 +134,12 @@ class FactorGraph:
         self.ii[sl] = ii_arr[kidx]
         self.jj[sl] = jj_arr[kidx]
         kidx_j = jnp.asarray(kidx)
-        self.idx_ii2jj = self.idx_ii2jj.at[sl].set(out["idx_i2j"][kidx_j])
-        self.idx_jj2ii = self.idx_jj2ii.at[sl].set(out["idx_j2i"][kidx_j])
-        self.valid_match_j = self.valid_match_j.at[sl].set(out["valid_j"][kidx_j])
-        self.valid_match_i = self.valid_match_i.at[sl].set(out["valid_i"][kidx_j])
-        self.Q_ii2jj = self.Q_ii2jj.at[sl].set(out["Qj"][kidx_j])
-        self.Q_jj2ii = self.Q_jj2ii.at[sl].set(out["Qi"][kidx_j])
+        self.idx_ii2jj = self.idx_ii2jj.at[sl].set(self._dev(out["idx_i2j"][kidx_j]))
+        self.idx_jj2ii = self.idx_jj2ii.at[sl].set(self._dev(out["idx_j2i"][kidx_j]))
+        self.valid_match_j = self.valid_match_j.at[sl].set(self._dev(out["valid_j"][kidx_j]))
+        self.valid_match_i = self.valid_match_i.at[sl].set(self._dev(out["valid_i"][kidx_j]))
+        self.Q_ii2jj = self.Q_ii2jj.at[sl].set(self._dev(out["Qj"][kidx_j]))
+        self.Q_jj2ii = self.Q_jj2ii.at[sl].set(self._dev(out["Qi"][kidx_j]))
         self.n_edges += n_new
         return True
 

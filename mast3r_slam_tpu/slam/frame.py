@@ -226,19 +226,26 @@ class Keyframes:
     """
 
     def __init__(self, capacity: int, num_pixels: int, num_patches: int,
-                 feat_dim: int, dtype=jnp.float32):
+                 feat_dim: int, dtype=jnp.float32, device=None):
         self.capacity = capacity
         self.num_pixels = num_pixels
         self.n = 0
         self.lock = threading.RLock()
         self.generation = 0
+        # pipeline mode (engine.pipeline: 2): `device` commits the POINTMAP
+        # side of the store (X/C/counts/poses — everything `_track_compute`
+        # and the global solve consume) to the tracker chip, while feat/pos
+        # (everything the encoder/decoder consumes) stay on the model chip —
+        # the data split that lets the two frame halves run on two chips.
+        self.device = device
+        self._dev = (lambda a: jax.device_put(a, device)) if device else (lambda a: a)
         self.frame_id = np.full((capacity,), -1, dtype=np.int64)
-        self.T_WC = jnp.tile(sim3.identity(dtype=dtype), (capacity, 1))
-        self.X = jnp.zeros((capacity, num_pixels, 3), dtype=dtype)
-        self.C = jnp.zeros((capacity, num_pixels, 1), dtype=dtype)
-        self.n_fused = jnp.zeros((capacity,), dtype=jnp.int32)
-        self.n_updates = jnp.zeros((capacity,), dtype=jnp.int32)
-        self.score = jnp.full((capacity,), -jnp.inf, dtype=dtype)
+        self.T_WC = self._dev(jnp.tile(sim3.identity(dtype=dtype), (capacity, 1)))
+        self.X = self._dev(jnp.zeros((capacity, num_pixels, 3), dtype=dtype))
+        self.C = self._dev(jnp.zeros((capacity, num_pixels, 1), dtype=dtype))
+        self.n_fused = self._dev(jnp.zeros((capacity,), dtype=jnp.int32))
+        self.n_updates = self._dev(jnp.zeros((capacity,), dtype=jnp.int32))
+        self.score = self._dev(jnp.full((capacity,), -jnp.inf, dtype=dtype))
         self.feat = jnp.zeros((capacity, num_patches, feat_dim), dtype=dtype)
         self.pos = jnp.zeros((capacity, num_patches, 2), dtype=jnp.int32)
         self.K: Optional[jnp.ndarray] = None
@@ -333,9 +340,11 @@ class Keyframes:
     def _set_frame_locked(self, idx: int, frame: Frame):
         self.frame_id[idx] = frame.frame_id
         self.T_WC = self.T_WC.at[idx].set(
-            jnp.asarray(frame.T_WC, self.T_WC.dtype))
-        self.X = self.X.at[idx].set(jnp.asarray(frame.X_canon, self.X.dtype))
-        self.C = self.C.at[idx].set(jnp.asarray(frame.C, self.C.dtype))
+            self._dev(jnp.asarray(frame.T_WC, self.T_WC.dtype)))
+        self.X = self.X.at[idx].set(
+            self._dev(jnp.asarray(frame.X_canon, self.X.dtype)))
+        self.C = self.C.at[idx].set(
+            self._dev(jnp.asarray(frame.C, self.C.dtype)))
         self.n_fused = self.n_fused.at[idx].set(jnp.int32(frame.n_fused))
         self.n_updates = self.n_updates.at[idx].set(jnp.int32(frame.n_updates))
         self.score = self.score.at[idx].set(jnp.float32(frame.score))

@@ -52,15 +52,32 @@ class SLAM:
         self.img_hw = img_hw
         N = img_hw[0] * img_hw[1]
         cap = keyframe_buffer or cfg["engine"]["keyframe_buffer"]
+        # engine.pipeline: 2 = pipeline-parallel frontend over two chips
+        # (VERDICT r2 item 3): encode+decode on chip 0, `_track_compute` on
+        # chip 1, with the next frame's decode issued speculatively against
+        # the current keyframe before this frame's keyframe decision lands
+        # (re-decoded on a switch).  Trajectories are IDENTICAL to
+        # single-chip mode — the speculation is corrected exactly.
+        self.pipeline = int(cfg["engine"].get("pipeline", 0) or 0)
+        track_device = None
+        if self.pipeline >= 2:
+            devs = jax.devices()
+            if len(devs) < 2:
+                print("engine.pipeline: fewer than 2 devices; running single-chip")
+                self.pipeline = 0
+            else:
+                track_device = devs[1]
         self.keyframes = Keyframes(
             capacity=cap,
             num_pixels=N,
             num_patches=model.num_patches,
             feat_dim=model.feat_dim,
+            device=track_device,
         )
         if K is not None:
             self.keyframes.K = jnp.asarray(K, dtype=jnp.float32)
-        self.tracker = FrameTracker(model, cfg, self.keyframes, img_hw)
+        self.tracker = FrameTracker(model, cfg, self.keyframes, img_hw,
+                                    compute_device=track_device)
         # engine.mesh: 0/absent = single device; N = shard the backend
         # (edge-sharded global BA + decode batch) over the first N devices;
         # "auto" = every visible device.  The frontend tracker stays on one
@@ -258,50 +275,30 @@ class SLAM:
                 frame_id, timestamp, rgb01, T_WC_init=last_T_WC, pre=pre
             )
 
-        if self.mode == Mode.INIT:
-            X, C = self.model.mono(frame.feat, frame.pos)
-            frame.update_pointmap(
-                X.reshape(-1, 3), C.reshape(-1, 1),
-                mode=self.cfg["tracking"]["filtering_mode"],
-                score_mode=self.cfg["tracking"]["filtering_score"],
-            )
-            kf_idx = self.keyframes.append(frame)  # store self-locks
-            if self.retrieval is not None:
-                self._submit_backend(0)
-            self.mode = Mode.TRACKING
-            self._log(timestamp, frame)
-            self._emit_keyframe(kf_idx, frame)
-            return frame
-
-        if self.mode == Mode.RELOC:
-            X, C = self.model.mono(frame.feat, frame.pos)
-            frame.update_pointmap(
-                X.reshape(-1, 3), C.reshape(-1, 1),
-                mode=self.cfg["tracking"]["filtering_mode"],
-                score_mode=self.cfg["tracking"]["filtering_score"],
-            )
-            self.n_reloc += 1
-            if self._relocalize(frame):
-                self.n_reloc_success += 1
-                self.mode = Mode.TRACKING
-                self.tracker.reset_idx_f2k()
-            self._log(timestamp, frame)
+        if self.mode in (Mode.INIT, Mode.RELOC):
+            self._process_nontracking(frame, timestamp)
             return frame
 
         # TRACKING — no engine-level lock: the tracker snapshots the store
         # internally, so this overlaps any in-flight backend task
         with self.timer.time("tracker.track"):
             new_kf, try_reloc = self.tracker.track(frame)
+        self._after_track(frame, timestamp, new_kf, try_reloc)
+        return frame
+
+    def _after_track(self, frame: Frame, timestamp, new_kf: bool,
+                     try_reloc: bool):
+        """Post-track decisions shared by the sequential and pipelined loops
+        (main.py:277-299)."""
         if try_reloc:
             self.mode = Mode.RELOC
             self._log(timestamp, frame)
-            return frame
+            return
         if new_kf:
             kf_idx = self.keyframes.append(frame)
             self._submit_backend(kf_idx)
             self._emit_keyframe(kf_idx, frame)
         self._log(timestamp, frame)
-        return frame
 
     def _log(self, timestamp, frame):
         T = np.asarray(frame.T_WC)
@@ -388,21 +385,24 @@ class SLAM:
 
         fetcher = threading.Thread(target=fetch, daemon=True)
         fetcher.start()
-        while True:
-            item = fetch_q.get()
-            if item is None:
-                break
-            i, timestamp, pre = item
-            # frame.latency: end-to-end per-frame wall time INCLUDING any
-            # stalls caused by a concurrent backend task — its p95/jitter
-            # is the observable proof that async mode overlaps (VERDICT r2)
-            with self.timer.time("frame.latency"):
-                frame = self.process_frame(i, timestamp, last_T_WC=last_T, pre=pre)
-                np.asarray(frame.T_WC)  # fence: include device completion
-            last_T = frame.T_WC
-            if verbose and i % 30 == 0 and i > 0:
-                fps = i / (time.time() - t0)
-                print(f"frame {i}/{n}  kf={len(self.keyframes)}  {fps:.2f} fps")
+        if self.pipeline >= 2:
+            self._loop_pipelined(fetch_q, n, t0, verbose)
+        else:
+            while True:
+                item = fetch_q.get()
+                if item is None:
+                    break
+                i, timestamp, pre = item
+                # frame.latency: end-to-end per-frame wall time INCLUDING any
+                # stalls caused by a concurrent backend task — its p95/jitter
+                # is the observable proof that async mode overlaps (VERDICT r2)
+                with self.timer.time("frame.latency"):
+                    frame = self.process_frame(i, timestamp, last_T_WC=last_T, pre=pre)
+                    np.asarray(frame.T_WC)  # fence: include device completion
+                last_T = frame.T_WC
+                if verbose and i % 30 == 0 and i > 0:
+                    fps = i / (time.time() - t0)
+                    print(f"frame {i}/{n}  kf={len(self.keyframes)}  {fps:.2f} fps")
         fetcher.join()
         self.join_backend()
         jax.block_until_ready(self.keyframes.T_WC)
@@ -421,6 +421,94 @@ class SLAM:
             n_reloc=self.n_reloc,
             n_reloc_success=self.n_reloc_success,
         )
+
+    def _loop_pipelined(self, fetch_q: queue.Queue, n: int, t0: float,
+                        verbose: bool):
+        """Two-chip software pipeline (engine.pipeline: 2, VERDICT r2 item 3).
+
+        For frame i the host issues, in order, WITHOUT blocking between:
+          1. encode(i) + speculative decode(i) vs the current keyframe
+             -> chip 0 (model) starts frame i;
+          2. track_finish(i-1): blocks on chip 1's decision stats for the
+             PREVIOUS frame; chip 0 is still busy with frame i.  May append
+             a keyframe / flip mode;
+          3. track_submit(i): re-decodes if the keyframe switched in step 2
+             (speculation corrected exactly -> identical trajectories),
+             transfers the decode outputs to chip 1, enqueues
+             `_track_compute(i)` there — which then overlaps step 1 of
+             frame i+1 on chip 0.
+        INIT/RELOC frames drain the pipeline and run sequentially.
+        """
+        pending = None   # (frame_idx, timestamp, tracker pending)
+        prev_frame = None
+        while True:
+            item = fetch_q.get()
+            if item is None:
+                break
+            i, timestamp, pre = item
+            with self.timer.time("frame.latency"):
+                frame = self.ingest_rgb(i, timestamp, pre=pre)  # chip 0
+                speculative = None
+                if self.mode == Mode.TRACKING:
+                    with self.timer.time("pipeline.spec_decode"):
+                        speculative = self.tracker.infer(frame)  # chip 0, async
+
+                if pending is not None:
+                    with self.timer.time("pipeline.finish_prev"):
+                        pi, pts, pend = pending
+                        new_kf, try_reloc = self.tracker.track_finish(pend)
+                        self._after_track(pend[0], pts, new_kf, try_reloc)
+                    pending = None
+
+                if prev_frame is not None:
+                    frame.T_WC = prev_frame.T_WC  # warm-start pose (last_T)
+                if self.mode == Mode.TRACKING:
+                    with self.timer.time("pipeline.submit"):
+                        pend = self.tracker.track_submit(frame, inference=speculative)
+                    pending = (i, timestamp, pend)
+                else:
+                    # INIT / RELOC: sequential semantics (pipeline drained
+                    # above because mode flips happen in track_finish)
+                    self._process_nontracking(frame, timestamp)
+            prev_frame = frame
+            if verbose and i % 30 == 0 and i > 0:
+                fps = i / (time.time() - t0)
+                print(f"frame {i}/{n}  kf={len(self.keyframes)}  {fps:.2f} fps")
+        if pending is not None:
+            pi, pts, pend = pending
+            new_kf, try_reloc = self.tracker.track_finish(pend)
+            self._after_track(pend[0], pts, new_kf, try_reloc)
+
+    def _process_nontracking(self, frame: Frame, timestamp):
+        """INIT / RELOC handling for an already-ingested frame (the
+        non-tracking arms of process_frame)."""
+        if self.mode == Mode.INIT:
+            X, C = self.model.mono(frame.feat, frame.pos)
+            frame.update_pointmap(
+                X.reshape(-1, 3), C.reshape(-1, 1),
+                mode=self.cfg["tracking"]["filtering_mode"],
+                score_mode=self.cfg["tracking"]["filtering_score"],
+            )
+            kf_idx = self.keyframes.append(frame)
+            if self.retrieval is not None:
+                self._submit_backend(0)
+            self.mode = Mode.TRACKING
+            self._log(timestamp, frame)
+            self._emit_keyframe(kf_idx, frame)
+            return
+        if self.mode == Mode.RELOC:
+            X, C = self.model.mono(frame.feat, frame.pos)
+            frame.update_pointmap(
+                X.reshape(-1, 3), C.reshape(-1, 1),
+                mode=self.cfg["tracking"]["filtering_mode"],
+                score_mode=self.cfg["tracking"]["filtering_score"],
+            )
+            self.n_reloc += 1
+            if self._relocalize(frame):
+                self.n_reloc_success += 1
+                self.mode = Mode.TRACKING
+                self.tracker.reset_idx_f2k()
+            self._log(timestamp, frame)
 
     def save_trajectory(self, path, result: SlamResult):
         poses_se3 = np.asarray(

@@ -252,41 +252,82 @@ def _track_compute(
 
 
 class FrameTracker:
-    """Host orchestration + decisions around ``_track_compute``."""
+    """Host orchestration + decisions around ``_track_compute``.
 
-    def __init__(self, model, cfg, keyframes: Keyframes, img_hw: Tuple[int, int]):
+    Pipeline mode (``engine.pipeline: 2``): ``compute_device`` places the
+    post-inference program (`_track_compute`) on a SECOND chip, so it runs
+    concurrently with the next frame's encode+decode on the model chip —
+    the two halves of the ~32 ms frame are nearly equal (VERDICT r2 item 3).
+    ``infer()`` / ``track()`` are split so the engine can issue the next
+    frame's (speculative) decode before blocking on this frame's decision.
+    """
+
+    def __init__(self, model, cfg, keyframes: Keyframes, img_hw: Tuple[int, int],
+                 compute_device=None):
         self.model = model
         self.ts = TrackerSettings.from_config(cfg)
         self.keyframes = keyframes
         self.img_hw = img_hw
+        self.compute_device = compute_device
         self.reset_idx_f2k()
 
     def reset_idx_f2k(self):
         N = self.img_hw[0] * self.img_hw[1]
         self.idx_f2k = jnp.arange(N, dtype=jnp.int32)
+        if self.compute_device is not None:
+            self.idx_f2k = jax.device_put(self.idx_f2k, self.compute_device)
 
-    def track(self, frame: Frame):
-        """Returns (new_kf, try_reloc).
+    def infer(self, frame: Frame):
+        """Issue the asymmetric two-view inference for `frame` against the
+        CURRENT last keyframe (async dispatch on the model device).
 
-        Concurrency: all device work here (asymmetric inference, the jitted
-        `_track_compute`, the stats readback) runs on an immutable SNAPSHOT
-        of the keyframe store — the store lock is held only inside
-        ``snapshot()`` and ``update_pointmap`` (reference swaps), so a
-        backend task's global solve never stalls tracking (the reference's
-        lock scope, frame.py:222 / main.py:225).
+        Returns (kf_idx, outputs); pass to :meth:`track`.  In pipeline mode
+        this is issued speculatively before the previous frame's keyframe
+        decision lands — `track` re-issues if the keyframe changed.
+        """
+        snap = self.keyframes.snapshot()
+        kf_idx = snap.n - 1
+        out = self.model.asymmetric(
+            frame.feat, frame.pos, snap.feat[kf_idx][None], snap.pos[kf_idx][None]
+        )
+        return kf_idx, out
+
+    def track_submit(self, frame: Frame, inference=None):
+        """Issue `_track_compute` for `frame` (async dispatch; no host sync).
+
+        `inference`: optional (kf_idx, outputs) from :meth:`infer` — reused
+        when it still targets the current last keyframe, re-issued otherwise
+        (the pipeline-mode speculation correction: a keyframe switch happens
+        ~1 in 5-10 frames, VERDICT r2 item 3).  Returns (frame, out-dict).
         """
         kf = self.keyframes
         snap = kf.snapshot()
         kf_idx = snap.n - 1
         K = snap.K if self.ts.use_calib else jnp.eye(3, dtype=jnp.float32)
 
-        (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = self.model.asymmetric(
-            frame.feat, frame.pos, snap.feat[kf_idx][None], snap.pos[kf_idx][None]
-        )
+        if inference is not None and inference[0] == kf_idx:
+            (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = inference[1]
+        else:
+            (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = self.model.asymmetric(
+                frame.feat, frame.pos, snap.feat[kf_idx][None], snap.pos[kf_idx][None]
+            )
 
         N = self.img_hw[0] * self.img_hw[1]
         frame_X = frame.X_canon if frame.X_canon is not None else jnp.zeros((N, 3), dtype=jnp.float32)
         frame_C = frame.C if frame.C is not None else jnp.zeros((N, 1), dtype=jnp.float32)
+
+        dev = self.compute_device
+        if dev is not None:
+            # pipeline mode: move the decode outputs + per-frame state to the
+            # tracker chip; the keyframe store's pointmap arrays already live
+            # there (Keyframes(device=...)), so `_track_compute` dispatches
+            # on it while the model chip starts the next frame
+            (Xii, Cii, Dii, Qii, Xji, Cji, Dji, Qji, frame_X, frame_C, K) = (
+                jax.device_put(
+                    (Xii, Cii, Dii, Qii, Xji, Cji, Dji, Qji, frame_X, frame_C, K),
+                    dev,
+                )
+            )
 
         out = _track_compute(
             self.ts,
@@ -303,12 +344,17 @@ class FrameTracker:
             snap.n_fused[kf_idx],
             snap.n_updates[kf_idx],
             snap.score[kf_idx],
-            frame.T_WC,
+            jax.device_put(frame.T_WC, dev) if dev is not None else frame.T_WC,
             snap.T_WC[kf_idx],
             self.idx_f2k,
             K,
         )
+        return frame, kf_idx, out
 
+    def track_finish(self, pending):
+        """Block on the decision stats, commit state, decide keyframe/reloc."""
+        frame, kf_idx, out = pending
+        kf = self.keyframes
         self.idx_f2k = out["idx_f2k"]
 
         import numpy as np
@@ -336,3 +382,15 @@ class FrameTracker:
         if new_kf:
             self.reset_idx_f2k()
         return new_kf, False
+
+    def track(self, frame: Frame, inference=None):
+        """Returns (new_kf, try_reloc).
+
+        Concurrency: all device work here (asymmetric inference, the jitted
+        `_track_compute`, the stats readback) runs on an immutable SNAPSHOT
+        of the keyframe store — the store lock is held only inside
+        ``snapshot()`` and ``update_pointmap`` (reference swaps), so a
+        backend task's global solve never stalls tracking (the reference's
+        lock scope, frame.py:222 / main.py:225).
+        """
+        return self.track_finish(self.track_submit(frame, inference))

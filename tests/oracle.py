@@ -71,7 +71,7 @@ class OracleModel:
         self.scene = scene
         self.gt = np.asarray(gt_poses, dtype=np.float32)  # (F, 8)
         self.noise = noise
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.img_hw = (scene.H, scene.W)
         self.feat_dim = 16
         grid = (scene.H // 16 or 1, scene.W // 16 or 1)
@@ -116,9 +116,13 @@ class OracleModel:
         D = self.scene.descriptors(X, T)
         return T, X, D
 
-    def _noisify(self, X):
+    def _noisify(self, X, key):
+        """Deterministic noise per (call-site, view) — NOT a stateful stream:
+        the pipelined engine legitimately issues speculative decodes (extra
+        calls), which must not perturb every later observation."""
         if self.noise > 0:
-            X = X + self.rng.normal(size=X.shape).astype(np.float32) * self.noise
+            rng = np.random.default_rng((self.seed, *key))
+            X = X + rng.normal(size=X.shape).astype(np.float32) * self.noise
         return X
 
     def _conf(self, X_cam: np.ndarray, fid: int) -> np.ndarray:
@@ -143,9 +147,11 @@ class OracleModel:
         Xji = np.asarray(sim3.act(jnp.asarray(T_CiCj), jnp.asarray(Xj)))
         ones = np.full((1, H, W), 2.0, dtype=np.float32)
         mk = lambda a: jnp.asarray(a[None])
-        res_ii = (mk(self._noisify(Xi)), jnp.asarray(self._conf(Xi, fid_i)),
+        res_ii = (mk(self._noisify(Xi, (0, fid_i, fid_j))),
+                  jnp.asarray(self._conf(Xi, fid_i)),
                   mk(Di), jnp.asarray(ones))
-        res_ji = (mk(self._noisify(Xji)), jnp.asarray(self._conf(Xji, fid_j)),
+        res_ji = (mk(self._noisify(Xji, (1, fid_i, fid_j))),
+                  jnp.asarray(self._conf(Xji, fid_j)),
                   mk(Dj), jnp.asarray(ones))
         return res_ii, res_ji
 
@@ -176,7 +182,8 @@ class OracleModel:
         fid = self._fid(feat)
         _, X, _ = self._view(fid)
         H, W = self.img_hw
-        return jnp.asarray(self._noisify(X)[None]), jnp.asarray(self._conf(X, fid))
+        return (jnp.asarray(self._noisify(X, (2, fid, fid))[None]),
+                jnp.asarray(self._conf(X, fid)))
 
 
 def arc_trajectory(n_frames: int, radius=0.5, max_angle=0.5) -> np.ndarray:
