@@ -13,7 +13,50 @@ from __future__ import annotations
 import asyncio
 import json
 import threading
+import time
 from typing import List, Optional
+
+
+class RunControl:
+    """Viewer -> engine run control (the reference's ``WindowMsg``,
+    visualization.py:33-41, consumed at main.py:233-246).
+
+    The engine polls :meth:`proceed` once per frame: it blocks while paused
+    (consuming one queued single-step if present) and returns False once
+    terminated.  ``conf_threshold`` filters the streamed keyframe
+    pointclouds and the final PLY export (reference main.py:319)."""
+
+    def __init__(self, conf_threshold: float = 1.5):
+        self._lock = threading.Lock()
+        self.paused = False
+        self.terminated = False
+        self.conf_threshold = conf_threshold
+        self._steps = 0
+
+    def update(self, msg: dict):
+        """Apply one viewer control message (thread-safe)."""
+        with self._lock:
+            if "paused" in msg:
+                self.paused = bool(msg["paused"])
+            if msg.get("step"):
+                self._steps += 1
+            if "conf_threshold" in msg:
+                self.conf_threshold = float(msg["conf_threshold"])
+            if msg.get("terminate"):
+                self.terminated = True
+
+    def proceed(self, poll: float = 0.01) -> bool:
+        """Block while paused; True = process one frame, False = stop."""
+        while True:
+            with self._lock:
+                if self.terminated:
+                    return False
+                if not self.paused:
+                    return True
+                if self._steps > 0:
+                    self._steps -= 1
+                    return True
+            time.sleep(poll)
 
 
 class EventBroadcaster:
@@ -24,6 +67,7 @@ class EventBroadcaster:
         self.host = host
         self.port = port
         self.history_limit = history_limit
+        self.control = RunControl()  # viewer->engine backchannel
         self._history: List[str] = []  # serialized new_keyframe events
         self._clients: set = set()
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -56,8 +100,15 @@ class EventBroadcaster:
                 await websocket.send(payload)
             self._clients.add(websocket)
             try:
-                async for _ in websocket:
-                    pass  # viewers only listen
+                async for raw in websocket:
+                    # run-control backchannel: pause/step/conf-threshold/
+                    # terminate messages from the viewer UI
+                    try:
+                        msg = json.loads(raw)
+                    except (TypeError, ValueError):
+                        continue
+                    if isinstance(msg, dict) and msg.get("type") == "control":
+                        self.control.update(msg)
             finally:
                 self._clients.discard(websocket)
 

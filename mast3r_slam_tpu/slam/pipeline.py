@@ -105,6 +105,10 @@ class SLAM:
         # pose_update / new_keyframe dicts as the run progresses — the role
         # of the reference's main2viz queue (visualization.py:98-188)
         self.on_event = None
+        # optional viewer->engine backchannel (serve.broadcast.RunControl):
+        # pause / single-step / conf-threshold / terminate — the reference's
+        # WindowMsg loop (visualization.py:33-41 -> main.py:233-246)
+        self.control = None
         self.viz_point_stride = int(cfg.get("engine", {}).get(
             "viz_point_stride", 0
         ))  # 0 = auto (~<=8k points per keyframe payload)
@@ -349,7 +353,14 @@ class SLAM:
                 )
             else:
                 col = np.full((len(Xw), 3), 128, np.uint8)
-            sel = conf > 1.0 + 1e-6  # drop never-confident pixels
+            # conf filter: viewer-controlled threshold when a backchannel is
+            # attached (reference C_conf_threshold slider), else just drop
+            # never-confident pixels
+            thresh = (
+                self.control.conf_threshold
+                if self.control is not None else 1.0 + 1e-6
+            )
+            sel = conf > thresh
             if sel.any():
                 Xw, col = Xw[sel], col[sel]
             return {
@@ -385,12 +396,16 @@ class SLAM:
 
         fetcher = threading.Thread(target=fetch, daemon=True)
         fetcher.start()
+        item = True  # last item seen; None once the fetcher is exhausted
         if self.pipeline >= 2:
-            self._loop_pipelined(fetch_q, n, t0, verbose)
+            item = self._loop_pipelined(fetch_q, n, t0, verbose)
         else:
             while True:
                 item = fetch_q.get()
                 if item is None:
+                    break
+                # viewer run control: block while paused, stop on terminate
+                if self.control is not None and not self.control.proceed():
                     break
                 i, timestamp, pre = item
                 # frame.latency: end-to-end per-frame wall time INCLUDING any
@@ -403,6 +418,10 @@ class SLAM:
                 if verbose and i % 30 == 0 and i > 0:
                     fps = i / (time.time() - t0)
                     print(f"frame {i}/{n}  kf={len(self.keyframes)}  {fps:.2f} fps")
+        # early termination (run control): drain the bounded queue so the
+        # fetcher thread can reach its sentinel and exit
+        while item is not None:
+            item = fetch_q.get()
         fetcher.join()
         self.join_backend()
         jax.block_until_ready(self.keyframes.T_WC)
@@ -441,9 +460,12 @@ class SLAM:
         """
         pending = None   # (frame_idx, timestamp, tracker pending)
         prev_frame = None
+        item = None
         while True:
             item = fetch_q.get()
             if item is None:
+                break
+            if self.control is not None and not self.control.proceed():
                 break
             i, timestamp, pre = item
             with self.timer.time("frame.latency"):
@@ -478,6 +500,7 @@ class SLAM:
             pi, pts, pend = pending
             new_kf, try_reloc = self.tracker.track_finish(pend)
             self._after_track(pend[0], pts, new_kf, try_reloc)
+        return item  # None = fetcher exhausted; otherwise terminated early
 
     def _process_nontracking(self, frame: Frame, timestamp):
         """INIT / RELOC handling for an already-ingested frame (the

@@ -174,6 +174,9 @@ def main(argv=None):
 
         broadcaster = EventBroadcaster(port=args.viz_ws).start()
         slam.on_event = broadcaster.push
+        # viewer->engine backchannel: pause/step/conf-threshold/terminate
+        # from the browser UI (reference WindowMsg, visualization.py:33-41)
+        slam.control = broadcaster.control
         print(f"live viewer stream: ws://127.0.0.1:{broadcaster.bound_port} "
               f"(open mast3r_slam_tpu/viz/viewer.html?ws=...)")
 
@@ -199,7 +202,10 @@ def main(argv=None):
             save_dir / f"{seq}.ply",
             slam.keyframes,
             slam.img_hw,
-            conf_threshold=1.5,
+            # viewer slider feeds the export threshold, as in the reference
+            # (main.py:319 passes last_msg.C_conf_threshold)
+            conf_threshold=(slam.control.conf_threshold
+                            if slam.control is not None else 1.5),
             use_calib=cfg["use_calib"],
         )
         save_keyframes(save_dir / "keyframes" / seq, dataset.timestamps,
