@@ -1,13 +1,18 @@
-"""Benchmark: SLAM tracked-frame throughput on one chip.
+"""Benchmark: SLAM throughput on one chip — hot path AND full system.
 
-Times the full per-frame hot path of the engine at production resolution
-(384x512, ViT-L random weights — FLOPs identical to pretrained):
-encoder -> asymmetric two-view decode + heads -> dense projective matching ->
-Sim(3) GN pose solve -> pointmap fusion.
+Two measurements at production resolution (384x512, ViT-L random weights —
+FLOPs identical to pretrained):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference paper's real-time claim of ~15 fps on an RTX 4090
-(README.md:142-144; SURVEY.md §6).
+1. tracked-frame HOT PATH: encoder -> asymmetric decode + heads -> dense
+   projective matching -> Sim(3) GN -> fusion, back to back;
+2. SYSTEM fps: the same engine driven through ``SLAM.run`` with keyframing
+   (every 6th frame), backend symmetric decode + global solve, and
+   retrieval sharing the chip — the configuration whose fps the reference
+   actually prints (/root/reference/main.py:307-309).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"system_fps", "system_vs_baseline"}.  Baseline: the reference paper's
+real-time claim of ~15 fps on an RTX 4090 (README.md:142-144; SURVEY.md §6).
 """
 
 import json
@@ -139,12 +144,171 @@ def main():
         kf_feat, kf_pos, kf_X, kf_C, T_id, idx0, K, frame_step, args,
     )
 
-    print(json.dumps({
+    try:
+        sys_fps = _system_bench(params, cfg, speed_cfg, (H, W))
+    except Exception as e:  # system bench must never lose the hot-path result
+        print(f"system bench failed: {e!r}", file=sys.stderr)
+        sys_fps = None
+
+    out = {
         "metric": "slam_tracked_frame_fps_1chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 3),
-    }))
+    }
+    if sys_fps is not None:
+        out["system_fps"] = round(sys_fps, 3)
+        out["system_vs_baseline"] = round(sys_fps / REFERENCE_FPS, 3)
+    print(json.dumps(out))
+
+
+def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72):
+    """End-to-end system fps: SLAM.run with backend + retrieval on the chip.
+
+    Keyframe decisions are pinned to every 6th frame (the reference's
+    typical cadence) and reloc is suppressed, because random weights give
+    meaningless match fractions — every COMPUTE path (track program, fusion,
+    keyframe append, backend symmetric decode + matching + global GN,
+    retrieval quantize/IVF) runs for real at production shapes.
+    """
+    import numpy as np
+
+    from mast3r_slam_tpu.config import load_config
+    from mast3r_slam_tpu.models.interface import MASt3RModel
+    from mast3r_slam_tpu.retrieval.database import RetrievalDatabase
+    from mast3r_slam_tpu.slam.pipeline import SLAM
+
+    H, W = hw
+    model = MASt3RModel(params, mcfg, hw)
+
+    def make_engine():
+        cfg = load_config("speed")
+        cfg["single_thread"] = False  # live mode: backend overlaps tracking
+        cfg["engine"]["keyframe_buffer"] = 64
+        cfg["engine"]["edge_buffer"] = 64
+        # random-weight confidences sit ~1 (below the 1.5 gates) and random
+        # exp-depth pointmaps blow the occlusion distance check, so every
+        # confidence/distance gate would zero the workload; open them all so
+        # the match/GN/fusion/solve paths run on live data (same compute,
+        # different thresholds — thresholds are compile-time constants)
+        cfg["matching"]["dist_thresh"] = 1e9
+        cfg["tracking"]["Q_conf"] = -1.0
+        cfg["tracking"]["C_conf"] = -1.0
+        cfg["tracking"]["min_match_frac"] = -1.0
+        cfg["local_opt"]["Q_conf"] = -1.0
+        cfg["local_opt"]["C_conf"] = -1.0
+        cfg["local_opt"]["min_match_frac"] = -1.0
+        retrieval = RetrievalDatabase.random_init(
+            jax.random.key(2), backbone_dim=mcfg.enc_embed_dim
+        )
+        slam = SLAM(model, cfg, hw, retrieval=retrieval)
+
+        # pin the keyframe cadence (see docstring)
+        counter = {"i": 0}
+        orig_finish = slam.tracker.track_finish
+
+        def pinned_finish(pending):
+            orig_finish(pending)
+            frame, kf_idx, out = pending
+            if frame.X_canon is None:
+                # synthetic data never satisfies the per-pixel LM convergence
+                # flag, so gn_ok=0 and the tracker skipped the commit
+                # (tracker.py:91-93).  Commit manually (values are finite) so
+                # keyframing + the backend actually run.  Known limit: the
+                # data-dependent GN while_loops exit early on zero-weight
+                # synthetic residuals, in BOTH the hot-path and system
+                # numbers — everything else is live compute.
+                stats = np.asarray(out["stats"])
+                frame.X_canon = out["frame_X"]
+                frame.C = out["frame_C"]
+                frame.n_fused = int(stats[4])
+                frame.n_updates = int(stats[5])
+                frame.score = float(stats[6])
+                frame.T_WC = out["T_WCf"]
+                slam.keyframes.update_pointmap(
+                    kf_idx, out["kf_X"], out["kf_C"], out["kf_n_fused"],
+                    out["kf_n_updates"], out["kf_score"],
+                )
+            counter["i"] += 1
+            new_kf = counter["i"] % 6 == 0
+            if new_kf:
+                slam.tracker.reset_idx_f2k()
+            return new_kf, False
+
+        slam.tracker.track_finish = pinned_finish
+        return slam
+
+    rng = np.random.default_rng(0)
+
+    class NoiseDataset:
+        """Pre-generated normalized frames (host preprocess excluded: the
+        prefetch thread hides it in production; generating 72 Lanczos
+        resizes would also dominate bench wall time).
+
+        Frames are small perturbations of ONE base image: unrelated noise
+        images give random-weight predictions with ZERO cross-view matches,
+        which collapses the data-dependent loops (occlusion gate kills every
+        weight, GN exits immediately).  Near-identical frames keep matches
+        valid so the match/fusion/commit path, edge gating, and solver all
+        run with live data.  (Data-dependent iteration counts — matcher LM,
+        tracking/backend GN — still converge faster on near-static synthetic
+        scenes than on real video; stated here so the number is read right.)
+        """
+
+        timestamps = [f"{i / 30.0:.6f}" for i in range(n_frames)]
+        save_results = False
+
+        def __init__(self):
+            base = rng.normal(size=(3, H, W)).astype(np.float32) * 0.5
+            self.pres = [
+                {
+                    "img": base
+                    + rng.normal(size=(3, H, W)).astype(np.float32) * 0.02,
+                    "unnormalized_img": None,
+                }
+                for _ in range(4)
+            ]
+
+        def __len__(self):
+            return n_frames
+
+        def __getitem__(self, i):
+            return self.timestamps[i], None
+
+    ds = NoiseDataset()
+
+    # drive process_frame directly with pre-generated frames (run()'s
+    # prefetch thread covers host preprocess in production); a FRESH engine
+    # per pass (jit caches are global, so the second pass pays no compiles)
+    def run_once(count):
+        slam = make_engine()
+        last_T = None
+        t0 = time.time()
+        for i in range(count):
+            frame = slam.process_frame(
+                i, ds.timestamps[i], last_T_WC=last_T, pre=ds.pres[i % 4]
+            )
+            last_T = frame.T_WC
+        slam.join_backend()
+        np.asarray(slam.keyframes.T_WC[0])  # fence
+        return time.time() - t0, slam
+
+    # full-length warmup pass: the edge/pose-bucket sizes grow with the
+    # keyframe count, so only an identical replay pre-compiles every program
+    # the measured pass will hit (mid-measurement remote compiles are
+    # 20-40 s each on the TPU tunnel)
+    run_once(n_frames)
+    wall, slam = run_once(n_frames)
+    fps = n_frames / wall
+    print(
+        f"system: {n_frames} frames in {wall:.2f}s = {fps:.2f} fps "
+        f"(kf={len(slam.keyframes)}, edges={slam.graph.n_edges}, "
+        f"backend tasks overlap tracking)",
+        file=sys.stderr,
+    )
+    for line in slam.timer.report().splitlines():
+        print(f"system.{line}", file=sys.stderr)
+    return fps
 
 
 # chip -> dense bf16 peak FLOP/s (per chip); MFU is judged against the MXU's
@@ -209,29 +373,52 @@ def _report_stages_and_mfu(dt_frame, enc, params, img, cfg, grid, ts, hw, N,
     parts = "  ".join(f"{k}={v:.2f}ms" for k, v in stage_ms.items())
     print(f"stages: {parts}  sum={total:.2f}ms", file=sys.stderr)
 
-    # model FLOPs from XLA cost analysis of the three real programs
+    # PER-STAGE FLOPs + bytes from XLA cost analysis (VERDICT r2 item 8):
+    # frame-global MFU hides that encode/decode are MXU-bound while
+    # track_compute is gather-bandwidth-bound (~0 FLOPs against the
+    # measured ~30 GB/s effective gather wall, scripts/microbench_score.py)
+    # — report each stage's achieved TF/s, MFU and GB/s so speed-of-light
+    # claims are falsifiable per stage.
     try:
-        flops = 0.0
-        for lowered in (
-            jax.jit(lambda p, im: M.encode_image(p, cfg, im)).lower(params, img),
-            M.inference_asymmetric.lower(
+        lowered = {
+            "encode": jax.jit(
+                lambda p, im: M.encode_image(p, cfg, im)
+            ).lower(params, img),
+            "decode+heads": M.inference_asymmetric.lower(
                 params, cfg, feat, pos, kf_feat, kf_pos, grid
             ),
-            _track_compute.lower(*track_args),
-        ):
-            ca = lowered.compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops += float(ca.get("flops", 0.0))
+            "track_compute": _track_compute.lower(*track_args),
+        }
         kind = jax.devices()[0].device_kind
         peak = next(
             (v for k, v in _PEAK_FLOPS.items() if k.lower() in kind.lower()),
             None,
         )
-        msg = f"model_flops/frame: {flops/1e9:.1f} GF  "
-        msg += f"achieved: {flops/dt_frame/1e12:.1f} TF/s"
+        flops_total = 0.0
+        for name, low in lowered.items():
+            ca = low.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fl = float(ca.get("flops", 0.0))
+            by = float(ca.get("bytes accessed", 0.0))
+            flops_total += fl
+            t = stage_ms.get(name, 0.0) / 1e3
+            if t <= 0:
+                continue
+            msg = (
+                f"stage {name:13s}: {fl / 1e9:7.1f} GF  {fl / t / 1e12:6.2f} TF/s"
+            )
+            if peak:
+                msg += f"  MFU {100.0 * fl / t / peak:5.1f}%"
+            msg += f"   {by / 1e6:7.1f} MB  {by / t / 1e9:6.1f} GB/s"
+            if name == "track_compute":
+                msg += "  (gather-wall ~30 GB/s effective)"
+            print(msg, file=sys.stderr)
+
+        msg = f"model_flops/frame: {flops_total/1e9:.1f} GF  "
+        msg += f"achieved: {flops_total/dt_frame/1e12:.1f} TF/s"
         if peak:
-            msg += f"  MFU: {100.0*flops/dt_frame/peak:.1f}% of {kind}"
+            msg += f"  MFU: {100.0*flops_total/dt_frame/peak:.1f}% of {kind}"
         else:
             msg += f"  (no peak table entry for {kind!r})"
         print(msg, file=sys.stderr)
