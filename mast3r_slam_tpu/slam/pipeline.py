@@ -152,15 +152,20 @@ class SLAM:
 
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def preprocess(rgb01: np.ndarray) -> dict:
+    def preprocess(self, rgb01: np.ndarray) -> dict:
         """Resize + normalise one RGB frame on the host (create_frame,
         frame.py:111-122).  Uses the native threaded Lanczos path when the
-        library is built; pure host work, safe to run on a prefetch thread."""
+        library is built; pure host work, safe to run on a prefetch thread.
+
+        The long-side target follows ``engine.resize`` (default 512, the
+        reference's only deployment size) so a non-512 engine (smaller
+        serving footprints, the CPU eval rehearsal) resizes consistently
+        with its ``img_hw``."""
+        size = int(self.cfg.get("engine", {}).get("resize", 512))
         from ..utils import native
-        if native.available():
-            return native.resize_img_native(rgb01, 512)
-        return resize_img(rgb01, 512)
+        if native.available() and size == 512:
+            return native.resize_img_native(rgb01, size)
+        return resize_img(rgb01, size)
 
     def ingest_rgb(self, frame_id: int, timestamp: str, rgb01: np.ndarray = None,
                    T_WC_init=None, pre: dict = None) -> Frame:

@@ -159,6 +159,10 @@ def main(argv=None):
         return None
     if cfg["dataset"]["subsample"] > 1:
         dataset.subsample(cfg["dataset"]["subsample"])
+    if getattr(dataset, "img_size", 512) != 512:
+        # keep the engine's prefetch resize consistent with the dataset's
+        # (non-512 deployments; see SLAM.preprocess)
+        cfg.setdefault("engine", {})["resize"] = dataset.img_size
 
     slam = build_slam(
         cfg,
