@@ -69,6 +69,9 @@ class GlobalGNSettings(NamedTuple):
     # Measured at M=1024: undamped CG *diverges* (|dx| grows with CG
     # iterations); 1e-4 converges monotonically.
     pcg_damping: float = 1e-4
+    # per-edge block reduction implementation (see _edge_Hg): "reduce" is
+    # the fused-VPU form, "dot" the matmul form kept for A/B
+    hg_impl: str = "reduce"
 
     @classmethod
     def from_config(cls, cfg) -> "GlobalGNSettings":
@@ -91,6 +94,7 @@ class GlobalGNSettings(NamedTuple):
             pcg_iters=lo.get("pcg_iters", 96),
             pcg_tol=lo.get("pcg_tol", 1e-7),
             pcg_damping=lo.get("pcg_damping", 1e-4),
+            hg_impl=lo.get("hg_impl", "reduce"),
         )
 
 
@@ -163,19 +167,32 @@ def _calib_residuals(Tij, Xi, Xj, K, img_hw, border, z_eps):
 # edge Hessian/gradient
 # ---------------------------------------------------------------------------
 
-def _edge_Hg(Ti, w, err, J_local):
+# How the per-edge normal-equation blocks reduce over pixels.
+#   "dot"    — einsum [J|err]ᵀW[J|err]: lowers to an (N·R, 8)ᵀ(N·R, 8)
+#              matmul.  An 8-wide matmul uses (8/128)² ≈ 0.4% of the MXU
+#              systolic array AND materialises the (N, R, 8) Jacobian in
+#              HBM (read twice) — measured SECONDS per solve at 384x512.
+#   "reduce" — broadcast-multiply + sum over (n, r): XLA emits one fused
+#              VPU multi-output reduction that consumes the Jacobian rows
+#              as they are produced (no HBM matmul operands).
+# Module-level switch (threaded through GlobalGNSettings.hg_impl).
+def _edge_Hg(Ti, w, err, J_local, impl: str = "reduce"):
     """(H_e (7,7), g_e (7,)) in the world tangent from local-frame rows.
 
     The adjoint-inverse map (gn_kernels.cu:278-299) is linear in the row, so
     instead of transforming every pixel's (R,7) Jacobian rows (N·R adjoint
     applications per edge), reduce in the LOCAL frame first — one augmented
-    einsum [J|err]ᵀW[J|err] gives H_l and g_l in a single pass — and
-    conjugate the 7x7 result once per edge: H_e = M H_l Mᵀ, g_e = M g_l.
+    pass over [J|err] gives H_l and g_l together — and conjugate the 7x7
+    result once per edge: H_e = M H_l Mᵀ, g_e = M g_l.
     """
     Jb = jnp.concatenate([J_local, err[..., None]], axis=-1)  # (N, R, 8)
-    Mloc = jnp.einsum(
-        "nr,nri,nrj->ij", w, Jb, Jb, preferred_element_type=jnp.float32
-    )
+    if impl == "dot":
+        Mloc = jnp.einsum(
+            "nr,nri,nrj->ij", w, Jb, Jb, preferred_element_type=jnp.float32
+        )
+    else:
+        wJ = w[..., None] * Jb  # fused into the reduction below
+        Mloc = jnp.sum(wJ[..., :, None] * Jb[..., None, :], axis=(0, 1))
     H_l = Mloc[:7, :7]
     g_l = Mloc[:7, 7]
     HMt = sim3.apply_adj_inv(Ti, H_l)    # rows -> H_l Mᵀ
@@ -194,6 +211,11 @@ def precompute_edge_data(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     ut, vt (E,N) calib target pixels or zeros).
     """
     H, W = img_hw
+    # pin f32 at the solver boundary: the engine is f32 end-to-end, and x64
+    # callers (tests) must not silently run the whole GN in emulated f64
+    Xs = jnp.asarray(Xs, jnp.float32)
+    Cs = jnp.asarray(Cs, jnp.float32)
+    Q = jnp.asarray(Q, jnp.float32)
     XsC = jnp.concatenate([Xs, Cs], axis=-1)  # (P, N, 4)
     rows_i = XsC[ii]  # (E, N, 4) - large-row gather, cheap
     gath = jnp.take_along_axis(rows_i, idx_ii2jj[..., None], axis=1)
@@ -241,7 +263,7 @@ def _edge_block_rays(Twc, settings, edge):
         axis=-1,
     )  # (N, 4)
     w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
-    return _edge_Hg(Ti, w, err, J_local)
+    return _edge_Hg(Ti, w, err, J_local, settings.hg_impl)
 
 
 def _edge_block_points(Twc, settings, edge):
@@ -268,7 +290,7 @@ def _edge_block_points(Twc, settings, edge):
     sq = sq_in / settings.sigma_point
     sqrt_w = jnp.stack([sq, sq, sq], axis=-1)
     w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
-    return _edge_Hg(Ti, w, err, J_local)
+    return _edge_Hg(Ti, w, err, J_local, settings.hg_impl)
 
 
 def _edge_block_calib(Twc, K, img_hw, settings, edge):
@@ -304,7 +326,7 @@ def _edge_block_calib(Twc, K, img_hw, settings, edge):
         axis=-1,
     )
     w = huber_weight(sqrt_w * err, settings.huber_k) * sqrt_w * sqrt_w
-    return _edge_Hg(Ti, w, err, J_local)
+    return _edge_Hg(Ti, w, err, J_local, settings.hg_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -141,7 +141,11 @@ class SLAM:
                 with self.timer.time("backend.update"):
                     self._backend_update(kf_idx)
             except Exception as e:  # pragma: no cover
-                print(f"backend task failed: {e!r}")
+                # stderr: stdout may carry a machine-readable stream (the
+                # bench's one-JSON-line contract, serving protocols)
+                import sys as _sys
+
+                print(f"backend task failed: {e!r}", file=_sys.stderr)
             finally:
                 self._tasks.task_done()
 
