@@ -414,13 +414,21 @@ def _assemble_and_solve_pcg(H_e, g_e, ii, jj, num_poses: int, pin: int,
             lambda Lb, rb: jax.scipy.linalg.cho_solve((Lb, True), rb)
         )(Lp, r)
 
+    # precision=HIGHEST everywhere in the CG operator: at TPU DEFAULT
+    # precision the MXU truncates the f32 operands to bf16, perturbing the
+    # operator by ~1e-3 per application — measured to make the M=256 solve
+    # DIVERGE on-chip (error 0.027 -> 0.039) while CPU converged.  These are
+    # tiny (7-wide) contractions; HIGHEST costs nothing material.
+    hi = jax.lax.Precision.HIGHEST
+
     def A_mv(x):  # (M, 7) -> (M, 7): (D + offdiag) x
         xp = jnp.concatenate([x, jnp.zeros((1, 7), dtype=x.dtype)])
-        y = jnp.einsum("mij,mj->mi", D, x, preferred_element_type=jnp.float32)
+        y = jnp.einsum("mij,mj->mi", D, x, precision=hi,
+                       preferred_element_type=jnp.float32)
         # off-diagonal blocks are -H_e at (io, jo) and (jo, io); H_e = H_e^T
-        yi = -jnp.einsum("eij,ej->ei", H_e, xp[jo],
+        yi = -jnp.einsum("eij,ej->ei", H_e, xp[jo], precision=hi,
                          preferred_element_type=jnp.float32)
-        yj = -jnp.einsum("eij,ej->ei", H_e, xp[io],
+        yj = -jnp.einsum("eij,ej->ei", H_e, xp[io], precision=hi,
                          preferred_element_type=jnp.float32)
         acc = jnp.zeros((M + 1, 7), dtype=jnp.float32)
         acc = acc.at[io].add(yi).at[jo].add(yj)
