@@ -212,10 +212,18 @@ class FactorGraph:
         n_kf = snap.n
         if E == 0 or n_kf <= self.settings.pin:
             return
-        # mesh mode shards edges, so the bucket floor is the mesh size
-        # (pow2) — padded edges carry valid=False and contribute nothing
-        Epad = _bucket(2 * E, 2 if self.mesh is None else self.mesh.size)
-        Ppad = _bucket(n_kf, 2)
+        # bucket floors trade a little padded compute early in a session for
+        # far fewer (Epad, Ppad) jit signatures — each distinct pair is a
+        # separate solve compile (20-40 s on the remote TPU compile service,
+        # minutes when it degrades); padded edges carry valid=False and
+        # contribute nothing.  Mesh mode floors Epad at the mesh size too.
+        e_floor = int(self.lcfg.get("edge_bucket_floor", 16))
+        p_floor = int(self.lcfg.get("pose_bucket_floor", 16))
+        if self.mesh is not None:
+            e_floor = max(e_floor, self.mesh.size)
+        Epad = _bucket(2 * E, e_floor)
+        Ppad = _bucket(n_kf, p_floor)
+        Ppad = min(Ppad, _bucket(self.keyframes.capacity, 2))  # cap at store
 
         ii2 = np.zeros((Epad,), dtype=np.int32)
         jj2 = np.zeros((Epad,), dtype=np.int32)
