@@ -72,6 +72,9 @@ class GlobalGNSettings(NamedTuple):
     # per-edge block reduction implementation (see _edge_Hg): "reduce" is
     # the fused-VPU form, "dot" the matmul form kept for A/B
     hg_impl: str = "reduce"
+    # PCG preconditioner: "block" (7x7 Cholesky solves) | "diag" (scalar
+    # Jacobi) — see _assemble_and_solve_pcg
+    pcg_precond: str = "block"
 
     @classmethod
     def from_config(cls, cfg) -> "GlobalGNSettings":
@@ -95,6 +98,7 @@ class GlobalGNSettings(NamedTuple):
             pcg_tol=lo.get("pcg_tol", 1e-7),
             pcg_damping=lo.get("pcg_damping", 1e-4),
             hg_impl=lo.get("hg_impl", "reduce"),
+            pcg_precond=lo.get("pcg_precond", "block"),
         )
 
 
@@ -371,7 +375,8 @@ def _assemble_and_solve(H_e, g_e, ii, jj, num_poses: int, pin: int):
 
 
 def _assemble_and_solve_pcg(H_e, g_e, ii, jj, num_poses: int, pin: int,
-                            iters: int, tol: float, damping: float = 1e-4):
+                            iters: int, tol: float, damping: float = 1e-4,
+                            precond: str = "block"):
     """Block-sparse normal equations solved by preconditioned CG.
 
     Never materialises the (M, M) block matrix: the operator is applied
@@ -406,13 +411,25 @@ def _assemble_and_solve_pcg(H_e, g_e, ii, jj, num_poses: int, pin: int,
         7, dtype=jnp.float32
     )
 
-    # block-Jacobi preconditioner: factor each (damped) 7x7 block once
-    Lp = jax.vmap(lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0])(D)
+    # preconditioner.  "block": per-pose 7x7 Cholesky solves; "diag": scalar
+    # Jacobi (elementwise) — numerically bulletproof on TPU, where batched
+    # triangular solves are a divergence suspect (see tpu_pcg_diag runs).
+    if precond == "diag":
+        dinv = 1.0 / jnp.maximum(
+            jnp.diagonal(D, axis1=-2, axis2=-1), 1e-12
+        )  # (M, 7)
 
-    def prec(r):  # (M, 7) -> (M, 7)
-        return jax.vmap(
-            lambda Lb, rb: jax.scipy.linalg.cho_solve((Lb, True), rb)
-        )(Lp, r)
+        def prec(r):
+            return r * dinv
+    else:
+        Lp = jax.vmap(
+            lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0]
+        )(D)
+
+        def prec(r):  # (M, 7) -> (M, 7)
+            return jax.vmap(
+                lambda Lb, rb: jax.scipy.linalg.cho_solve((Lb, True), rb)
+            )(Lp, r)
 
     # precision=HIGHEST everywhere in the CG operator: at TPU DEFAULT
     # precision the MXU truncates the f32 operands to bf16, perturbing the
@@ -512,16 +529,58 @@ def gauss_newton_poses(
         settings.solver == "auto" and (P - settings.pin) > settings.dense_max_poses
     )
 
-    def one_iter(Twc_):
-        H_e, g_e = jax.lax.map(
-            partial(block_fn, Twc_),
-            (ii, jj, Xi_all, Xj_all, sq_all, ut_all, vt_all),
-            batch_size=settings.edge_batch,
+    # Pallas edge-block path (ray mode): the fused kernel keeps the Jacobian
+    # rows in VMEM instead of the HBM round-trips every XLA phrasing pays
+    # (~2.6 ms/edge/iter measured at 384x512, BASELINE.md r3)
+    use_pallas = settings.hg_impl == "pallas" and mode == "rays"
+    if use_pallas:
+        from .edge_hg_pallas import TILE_N, edge_hg_rays_pallas
+
+        N_pix = Xi_all.shape[1]
+        pad_n = (-N_pix) % TILE_N
+        # pad pixels with FINITE dummy points at zero weight
+        Xi_p = jnp.pad(Xi_all, ((0, 0), (0, pad_n), (0, 0)),
+                       constant_values=1.0)
+        Xj_p = jnp.pad(Xj_all, ((0, 0), (0, pad_n), (0, 0)),
+                       constant_values=1.0)
+        sq_p = jnp.pad(sq_all, ((0, 0), (0, pad_n)))
+        Xi_t = jnp.swapaxes(Xi_p, 1, 2)  # (E, 3, N) channel-major
+        Xj_t = jnp.swapaxes(Xj_p, 1, 2)
+        sq_t = sq_p[:, None, :]
+
+    def _blocks_pallas(Twc_):
+        from .edge_hg_pallas import edge_hg_rays_pallas
+
+        Ti = Twc_[ii]
+        Tij = sim3.rel(Ti, Twc_[jj])
+        Mloc = edge_hg_rays_pallas(
+            Tij, Xi_t, Xj_t, sq_t,
+            sigma_ray=settings.sigma_ray, sigma_dist=settings.sigma_dist,
+            huber_k=settings.huber_k,
         )
+        H_l = Mloc[:, :7, :7]
+        g_l = Mloc[:, :7, 7]
+        # world-frame conjugation, once per edge (cf. _edge_Hg)
+        conj = jax.vmap(sim3.apply_adj_inv)
+        HMt = conj(Ti, H_l)
+        H_e = conj(Ti, jnp.swapaxes(HMt, 1, 2))
+        g_e = conj(Ti, g_l)
+        return H_e, g_e
+
+    def one_iter(Twc_):
+        if use_pallas:
+            H_e, g_e = _blocks_pallas(Twc_)
+        else:
+            H_e, g_e = jax.lax.map(
+                partial(block_fn, Twc_),
+                (ii, jj, Xi_all, Xj_all, sq_all, ut_all, vt_all),
+                batch_size=settings.edge_batch,
+            )
         if use_pcg:
             dx, ok = _assemble_and_solve_pcg(
                 H_e, g_e, ii, jj, P, settings.pin,
                 settings.pcg_iters, settings.pcg_tol, settings.pcg_damping,
+                settings.pcg_precond,
             )
         else:
             dx, ok = _assemble_and_solve(H_e, g_e, ii, jj, P, settings.pin)

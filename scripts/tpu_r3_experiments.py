@@ -60,26 +60,109 @@ def solve_production_scale():
             jnp.asarray(valid), jnp.asarray(Q),
             jnp.eye(3, dtype=jnp.float32), (1, 1),
         )
-        for eb in (8, 32):
-            s = GlobalGNSettings(edge_batch=eb, max_iters=2, solver="dense")
-            t0 = time.time()
-            T, iters, ok = gauss_newton_poses(*args, s, "rays")
-            np.asarray(T[0])
-            compile_s = time.time() - t0
-            times = []
-            for _ in range(3):
+        for impl in ("dot", "reduce", "pallas"):
+            for eb in (8, 32):
+                if impl == "pallas" and eb != 8:
+                    continue  # edge_batch is irrelevant to the kernel path
+                s = GlobalGNSettings(edge_batch=eb, max_iters=2,
+                                     solver="dense", hg_impl=impl)
                 t0 = time.time()
                 T, iters, ok = gauss_newton_poses(*args, s, "rays")
                 np.asarray(T[0])
-                times.append(time.time() - t0)
-            print(
-                f"solve E={E:4d} N={N} eb={eb:3d}: {min(times)*1e3:8.1f} ms "
-                f"({int(iters)} GN iters; compile {compile_s:.1f}s; ok={bool(ok)})",
-                flush=True,
+                compile_s = time.time() - t0
+                times = []
+                for _ in range(3):
+                    t0 = time.time()
+                    T, iters, ok = gauss_newton_poses(*args, s, "rays")
+                    np.asarray(T[0])
+                    times.append(time.time() - t0)
+                print(
+                    f"solve E={E:4d} N={N} {impl:6s} eb={eb:3d}: "
+                    f"{min(times)*1e3:8.1f} ms ({int(iters)} GN iters; "
+                    f"compile {compile_s:.1f}s; ok={bool(ok)})",
+                    flush=True,
+                )
+
+
+def pcg_diag():
+    """On-chip PCG divergence hunt: M=256 chain problem, one GN linear
+    solve, TRUE residual computed on the host in f64, block vs diag
+    preconditioner.  CPU converges (rel_res ~1e-4); if TPU only fails with
+    precond=block, the batched 7x7 cho_factor/cho_solve is the culprit."""
+    import time
+    from functools import partial as _partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mast3r_slam_tpu.lie import sim3
+    from mast3r_slam_tpu.ops import global_gn as G
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from microbench_solve_scale import build_problem
+
+    p = build_problem(256)
+    gt, noisy, Xs, Cs, ii, jj, idx, valid, Q = p
+    s = G.GlobalGNSettings(edge_batch=64, max_iters=1)
+    ii_j, jj_j = jnp.asarray(ii), jnp.asarray(jj)
+    Xi, Xj, sq, ut, vt = G.precompute_edge_data(
+        jnp.asarray(Xs), jnp.asarray(Cs), ii_j, jj_j, jnp.asarray(idx),
+        jnp.asarray(valid), jnp.asarray(Q), s, "rays", (1, 1),
+    )
+    Twc = jnp.asarray(noisy)
+    H_e, g_e = jax.lax.map(
+        _partial(lambda T, e: G._edge_block_rays(T, s, e), Twc),
+        (ii_j, jj_j, Xi, Xj, sq, ut, vt), batch_size=64,
+    )
+    He = np.asarray(H_e, np.float64)
+    ge = np.asarray(g_e, np.float64)
+    print(f"H_e checksum: {np.abs(He).sum():.6e}  g_e: {np.abs(ge).sum():.6e}"
+          f"  (CPU ref: compare manually)", flush=True)
+
+    M = 256
+    Mfree = M - 1
+    io = np.where(ii - 1 >= 0, ii - 1, Mfree)
+    jo = np.where(jj - 1 >= 0, jj - 1, Mfree)
+
+    def true_residual(dx, damping):
+        b = np.zeros((Mfree + 1, 7))
+        np.add.at(b, io, ge)
+        np.add.at(b, jo, -ge)
+        b = b[:Mfree]
+        D = np.zeros((Mfree + 1, 7, 7))
+        np.add.at(D, io, He)
+        np.add.at(D, jo, He)
+        D = D[:Mfree]
+        tr = np.trace(D, axis1=-2, axis2=-1)[:, None, None] / 7.0
+        D = D + (damping + 1e-6) * np.maximum(tr, 1e-12) * np.eye(7)
+        x = np.asarray(dx, np.float64)
+        xp = np.concatenate([x, np.zeros((1, 7))])
+        y = np.einsum("mij,mj->mi", D, x)
+        acc = np.zeros((Mfree + 1, 7))
+        np.add.at(acc, io, -np.einsum("eij,ej->ei", He, xp[jo]))
+        np.add.at(acc, jo, -np.einsum("eij,ej->ei", He, xp[io]))
+        Ax = y + acc[:Mfree]
+        return np.linalg.norm(Ax - b) / max(np.linalg.norm(b), 1e-30)
+
+    for precond in ("block", "diag"):
+        for iters in (96, 256):
+            dx, ok = G._assemble_and_solve_pcg(
+                H_e, g_e, ii_j, jj_j, M, 1, iters, 1e-7, 1e-4, precond
             )
+            res = true_residual(dx, 1e-4)
+            print(f"pcg_diag M=256 precond={precond:5s} iters={iters}: "
+                  f"|dx|={float(jnp.linalg.norm(dx)):.4g} "
+                  f"rel_res={res:.3e} ok={bool(ok)}", flush=True)
 
 
 def main():
+    print("=== pcg divergence diagnostic ===", flush=True)
+    try:
+        pcg_diag()
+    except Exception as e:
+        print(f"pcg_diag failed: {e!r}", flush=True)
+
     print("=== solve at production scale ===", flush=True)
     try:
         solve_production_scale()
