@@ -53,12 +53,16 @@ class GlobalGNSettings(NamedTuple):
     # videos.  "auto" uses the dense Cholesky up to `dense_max_poses` free
     # poses and the block-sparse PCG (O(E) memory) beyond.
     solver: str = "auto"          # "auto" | "dense" | "pcg"
-    # knee measured on long-chain graphs (scripts/microbench_solve_scale.py,
-    # CPU 2026-08-21): the f32 dense Cholesky goes indefinite (ok=False,
-    # solve silently skipped) from M=256 up, while PCG is both faster
-    # (51 vs 97 ms at M=256) and more accurate — so the dense direct solve
-    # is only kept for small graphs where it is exact and cheapest
-    dense_max_poses: int = 128
+    # auto knee: the (M+1,M+1,7,7) scatter is ~206 MB at M=1024 — dense is
+    # memory-viable (and, with the relative Levenberg damping below, its f32
+    # Cholesky stays PD at any M).  PCG (O(E) memory) takes over beyond.
+    # NOTE (r3, on-chip): the full GN loop around PCG diverges
+    # DETERMINISTICALLY on TPU (err 0.027->0.28 at M=512) even though a
+    # single PCG linear solve is accurate there (rel_res 1e-4, matching
+    # CPU) and the whole loop converges on CPU — root cause still open
+    # (BASELINE.md); the damped dense path is the correctness-first default
+    # through M=1024.
+    dense_max_poses: int = 1024
     pcg_iters: int = 96
     pcg_tol: float = 1e-7
     # relative Levenberg damping of the PCG system: long chains make the
@@ -337,11 +341,18 @@ def _edge_block_calib(Twc, K, img_hw, settings, edge):
 # assembly + solve
 # ---------------------------------------------------------------------------
 
-def _assemble_and_solve(H_e, g_e, ii, jj, num_poses: int, pin: int):
+def _assemble_and_solve(H_e, g_e, ii, jj, num_poses: int, pin: int,
+                        damping: float = 1e-4):
     """Scatter per-edge blocks into dense normal equations and solve.
 
     H_e: (E, 7, 7), g_e: (E, 7); ii/jj: (E,) pose indices (0..P-1).
     Pinned poses (< pin) route to a trash slot.  Returns dx (P-pin, 7).
+
+    `damping` is a relative Levenberg term on the SCALED system (unit
+    diagonal): without it the f32 Cholesky goes indefinite from ~M=256 on
+    long-chain graphs (measured CPU and TPU) and the solve silently no-ops;
+    with 1e-4 the factor stays PD at any M (condition number bounded ~1e4)
+    at the cost of slightly shortened steps — fixed points are unchanged.
     """
     M = num_poses - pin
     io = jnp.where(ii - pin >= 0, ii - pin, M)
@@ -365,7 +376,7 @@ def _assemble_and_solve(H_e, g_e, ii, jj, num_poses: int, pin: int):
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(Hd), 1e-12))
     d_inv = 1.0 / d
     Hs = Hd * d_inv[:, None] * d_inv[None, :]
-    Hs = Hs + jnp.eye(7 * M, dtype=jnp.float32) * 1e-8
+    Hs = Hs + jnp.eye(7 * M, dtype=jnp.float32) * (damping + 1e-8)
     L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
     y = jax.scipy.linalg.cho_solve((L, lower), gd * d_inv)
     dx = -(d_inv * y)
@@ -583,7 +594,8 @@ def gauss_newton_poses(
                 settings.pcg_precond,
             )
         else:
-            dx, ok = _assemble_and_solve(H_e, g_e, ii, jj, P, settings.pin)
+            dx, ok = _assemble_and_solve(H_e, g_e, ii, jj, P, settings.pin,
+                                         settings.pcg_damping)
         # retract non-pinned poses (pose_retr_kernel, gn_kernels.cu:415-453)
         dx_full = jnp.concatenate(
             [jnp.zeros((settings.pin, 7), dtype=dx.dtype), dx], axis=0

@@ -62,15 +62,17 @@ def _local_blocks(Twc, K, img_hw, settings, mode, ii, jj, edge_data):
     return Hbig, gbig
 
 
-def _solve_dense(Hbig, gbig, P_total: int, pin: int):
-    """Replicated dense solve from assembled blocks (cf. _assemble_and_solve)."""
+def _solve_dense(Hbig, gbig, P_total: int, pin: int, damping: float = 1e-4):
+    """Replicated dense solve from assembled blocks (cf. _assemble_and_solve;
+    same relative Levenberg damping keeping the f32 factor PD on large
+    graphs)."""
     M = P_total - pin
     Hd = Hbig[:M, :M].transpose(0, 2, 1, 3).reshape(7 * M, 7 * M)
     gd = gbig[:M].reshape(7 * M)
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(Hd), 1e-12))
     d_inv = 1.0 / d
     Hs = Hd * d_inv[:, None] * d_inv[None, :]
-    Hs = Hs + jnp.eye(7 * M, dtype=jnp.float32) * 1e-8
+    Hs = Hs + jnp.eye(7 * M, dtype=jnp.float32) * (damping + 1e-8)
     L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
     y = jax.scipy.linalg.cho_solve((L, lower), gd * d_inv)
     dx = -(d_inv * y)
@@ -137,7 +139,8 @@ def gauss_newton_poses_sharded(
 
         def one_iter(Twc_):
             Hbig, gbig = accumulate(Twc_, K_, ii_, jj_, *edge_data)
-            dx, ok = _solve_dense(Hbig, gbig, P_total, pin)
+            dx, ok = _solve_dense(Hbig, gbig, P_total, pin,
+                                  settings.pcg_damping)
             dx_full = jnp.concatenate(
                 [jnp.zeros((pin, 7), dtype=dx.dtype), dx], axis=0
             )
