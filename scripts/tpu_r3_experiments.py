@@ -60,7 +60,7 @@ def solve_production_scale():
             jnp.asarray(valid), jnp.asarray(Q),
             jnp.eye(3, dtype=jnp.float32), (1, 1),
         )
-        for impl in ("dot", "reduce", "pallas"):
+        for impl in ("pallas",):
             for eb in (8, 32):
                 if impl == "pallas" and eb != 8:
                     continue  # edge_batch is irrelevant to the kernel path
@@ -156,7 +156,105 @@ def pcg_diag():
                   f"rel_res={res:.3e} ok={bool(ok)}", flush=True)
 
 
+def pcg_loop_diag():
+    """Which GN iteration diverges, and does the preconditioner matter?
+    Full gauss_newton_poses at M=256 with max_iters swept and both
+    preconditioners; errors printed per configuration."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mast3r_slam_tpu.ops.global_gn import GlobalGNSettings, gauss_newton_poses
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from microbench_solve_scale import build_problem
+
+    gt, noisy, Xs, Cs, ii, jj, idx, valid, Q = build_problem(256)
+    args = (
+        jnp.asarray(noisy), jnp.asarray(Xs), jnp.asarray(Cs),
+        jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx),
+        jnp.asarray(valid), jnp.asarray(Q),
+        jnp.eye(3, dtype=jnp.float32), (1, 1),
+    )
+    init = np.linalg.norm(noisy[:, :3] - gt[:, :3], axis=-1).mean()
+    print(f"pcg_loop_diag init err {init:.5f}", flush=True)
+    for precond in ("block", "diag"):
+        errs = []
+        for mi in (1, 2, 3, 4):
+            s = GlobalGNSettings(edge_batch=64, solver="pcg", max_iters=mi,
+                                 pcg_precond=precond)
+            T, it, ok = gauss_newton_poses(*args, s, "rays")
+            err = np.linalg.norm(
+                np.asarray(T)[:, :3] - gt[:, :3], axis=-1
+            ).mean()
+            errs.append(f"it{mi}={err:.5f}/ok={bool(ok)}")
+        print(f"pcg_loop_diag precond={precond}: " + "  ".join(errs),
+              flush=True)
+
+
+def profile_solve():
+    """Device-profile one production-scale solve (E=64, N=196608): the r4
+    A/B showed pallas ≈ reduce ≈ dot (~5 ms/edge for a 2-iter solve), so
+    the cost is NOT the per-iteration edge blocks — find what it is."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mast3r_slam_tpu.lie import sim3
+    from mast3r_slam_tpu.ops.global_gn import GlobalGNSettings, gauss_newton_poses
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from profile_stages import trace_and_report
+
+    N = 384 * 512
+    P, E = 16, 64
+    rng = np.random.default_rng(0)
+    gt = np.concatenate(
+        [rng.normal(size=(P, 3)).astype(np.float32) * 0.1,
+         np.tile(np.float32([0, 0, 0, 1]), (P, 1)),
+         np.ones((P, 1), np.float32)], axis=1
+    )
+    world = rng.uniform(-1, 1, size=(N, 3)).astype(np.float32) + np.float32(
+        [0, 0, 3]
+    )
+    Xs = np.stack([
+        np.asarray(sim3.act(sim3.inv(jnp.asarray(gt[i])), jnp.asarray(world)))
+        for i in range(P)
+    ])
+    Cs = np.full((P, N, 1), 2.0, np.float32)
+    ii = (rng.integers(0, P, size=E)).astype(np.int32)
+    jj = (ii + 1) % P
+    idx = np.tile(np.arange(N, dtype=np.int32), (E, 1))
+    valid = np.ones((E, N, 1), bool)
+    Q = np.full((E, N, 1), 2.0, np.float32)
+    jargs = (
+        jnp.asarray(gt), jnp.asarray(Xs), jnp.asarray(Cs),
+        jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx),
+        jnp.asarray(valid), jnp.asarray(Q),
+        jnp.eye(3, dtype=jnp.float32), (1, 1),
+    )
+    for impl in ("reduce", "pallas"):
+        s = GlobalGNSettings(edge_batch=8, max_iters=2, solver="dense",
+                             hg_impl=impl)
+        trace_and_report(
+            f"solve_{impl}",
+            lambda a=jargs, st=s: gauss_newton_poses(*a, st, "rays")[0],
+            reps=2, top=20,
+        )
+
+
 def main():
+    print("=== solve device profile ===", flush=True)
+    try:
+        profile_solve()
+    except Exception as e:
+        print(f"profile_solve failed: {e!r}", flush=True)
+
+    print("=== pcg loop divergence sweep ===", flush=True)
+    try:
+        pcg_loop_diag()
+    except Exception as e:
+        print(f"pcg_loop_diag failed: {e!r}", flush=True)
+
     print("=== pcg divergence diagnostic ===", flush=True)
     try:
         pcg_diag()
@@ -168,14 +266,6 @@ def main():
         solve_production_scale()
     except Exception as e:
         print(f"solve-production failed: {e!r}", flush=True)
-
-    print("=== LN statistics A/B (scripts/microbench_ln.py) ===", flush=True)
-    sys.argv = ["microbench_ln.py"]
-    try:
-        runpy.run_path(os.path.join(ROOT, "scripts/microbench_ln.py"),
-                       run_name="__main__")
-    except Exception as e:
-        print(f"LN A/B failed: {e!r}", flush=True)
 
     print("\n=== solve scaling (scripts/microbench_solve_scale.py) ===",
           flush=True)
