@@ -73,9 +73,10 @@ class GlobalGNSettings(NamedTuple):
     # Measured at M=1024: undamped CG *diverges* (|dx| grows with CG
     # iterations); 1e-4 converges monotonically.
     pcg_damping: float = 1e-4
-    # per-edge block reduction implementation (see _edge_Hg): "reduce" is
-    # the fused-VPU form, "dot" the matmul form kept for A/B
-    hg_impl: str = "reduce"
+    # per-edge block reduction implementation: "auto" = the Pallas kernel
+    # on TPU for ray mode (8x faster per GN iteration: rows stay in VMEM)
+    # and the fused-VPU "reduce" elsewhere; "pallas"/"reduce"/"dot" force
+    hg_impl: str = "auto"
     # PCG preconditioner: "block" (7x7 Cholesky solves) | "diag" (scalar
     # Jacobi) — see _assemble_and_solve_pcg
     pcg_precond: str = "block"
@@ -101,7 +102,7 @@ class GlobalGNSettings(NamedTuple):
             pcg_iters=lo.get("pcg_iters", 96),
             pcg_tol=lo.get("pcg_tol", 1e-7),
             pcg_damping=lo.get("pcg_damping", 1e-4),
-            hg_impl=lo.get("hg_impl", "reduce"),
+            hg_impl=lo.get("hg_impl", "auto"),
             pcg_precond=lo.get("pcg_precond", "block"),
         )
 
@@ -463,7 +464,12 @@ def _assemble_and_solve_pcg(H_e, g_e, ii, jj, num_poses: int, pin: int,
         return y + acc[:M]
 
     def dot(a, b_):
-        return jnp.vdot(a, b_)
+        # NOT jnp.vdot: that lowers to an MXU dot whose DEFAULT precision
+        # truncates f32 operands to bf16 on TPU — CG's alpha/beta computed
+        # from ~1e-3-noisy inner products blow up exactly when convergence
+        # tightens (GN iteration 3+ diverged on-chip; CPU was fine).
+        # Elementwise multiply + reduce stays on the VPU in true f32.
+        return jnp.sum(a * b_)
 
     b_norm2 = dot(b, b)
     tol2 = (tol * tol) * jnp.maximum(b_norm2, 1e-30)
@@ -543,7 +549,10 @@ def gauss_newton_poses(
     # Pallas edge-block path (ray mode): the fused kernel keeps the Jacobian
     # rows in VMEM instead of the HBM round-trips every XLA phrasing pays
     # (~2.6 ms/edge/iter measured at 384x512, BASELINE.md r3)
-    use_pallas = settings.hg_impl == "pallas" and mode == "rays"
+    use_pallas = mode == "rays" and (
+        settings.hg_impl == "pallas"
+        or (settings.hg_impl == "auto" and jax.default_backend() == "tpu")
+    )
     if use_pallas:
         from .edge_hg_pallas import TILE_N, edge_hg_rays_pallas
 
