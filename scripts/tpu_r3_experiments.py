@@ -243,39 +243,51 @@ def profile_solve():
 
 
 def main():
-    print("=== solve device profile ===", flush=True)
-    try:
-        profile_solve()
-    except Exception as e:
-        print(f"profile_solve failed: {e!r}", flush=True)
+    # select sections by name on argv, e.g.:
+    #   python scripts/tpu_r3_experiments.py loop_diag scale
+    # no args = everything
+    want = set(sys.argv[1:]) or {
+        "profile", "loop_diag", "diag", "production", "scale"
+    }
 
-    print("=== pcg loop divergence sweep ===", flush=True)
-    try:
-        pcg_loop_diag()
-    except Exception as e:
-        print(f"pcg_loop_diag failed: {e!r}", flush=True)
+    if "profile" in want:
+        print("=== solve device profile ===", flush=True)
+        try:
+            profile_solve()
+        except Exception as e:
+            print(f"profile_solve failed: {e!r}", flush=True)
 
-    print("=== pcg divergence diagnostic ===", flush=True)
-    try:
-        pcg_diag()
-    except Exception as e:
-        print(f"pcg_diag failed: {e!r}", flush=True)
+    if "loop_diag" in want:
+        print("=== pcg loop divergence sweep ===", flush=True)
+        try:
+            pcg_loop_diag()
+        except Exception as e:
+            print(f"pcg_loop_diag failed: {e!r}", flush=True)
 
-    print("=== solve at production scale ===", flush=True)
-    try:
-        solve_production_scale()
-    except Exception as e:
-        print(f"solve-production failed: {e!r}", flush=True)
+    if "diag" in want:
+        print("=== pcg divergence diagnostic ===", flush=True)
+        try:
+            pcg_diag()
+        except Exception as e:
+            print(f"pcg_diag failed: {e!r}", flush=True)
 
-    print("\n=== solve scaling (scripts/microbench_solve_scale.py) ===",
-          flush=True)
-    sys.argv = ["microbench_solve_scale.py", "--sizes", "256,512,1024",
-                "--iters", "4"]
-    try:
-        runpy.run_path(os.path.join(ROOT, "scripts/microbench_solve_scale.py"),
-                       run_name="__main__")
-    except Exception as e:
-        print(f"solve-scale failed: {e!r}", flush=True)
+    if "production" in want:
+        print("=== solve at production scale ===", flush=True)
+        try:
+            solve_production_scale()
+        except Exception as e:
+            print(f"solve-production failed: {e!r}", flush=True)
+
+    if "scale" in want:
+        print("\n=== solve scaling (scripts/microbench_solve_scale.py) ===",
+              flush=True)
+        sys.argv = ["microbench_solve_scale.py", "--sizes", "256,512,1024",
+                    "--iters", "4"]
+        try:
+            runpy.run_path(os.path.join(ROOT, "scripts/microbench_solve_scale.py"),
+                           run_name="__main__")
+        except Exception as e:
+            print(f"solve-scale failed: {e!r}", flush=True)
 
 
 if __name__ == "__main__":
