@@ -614,7 +614,7 @@ def gauss_newton_poses(
             jnp.arange(P)[:, None] >= settings.pin
         )
         Twc_new = jnp.where(keep, Twc_new, Twc_)
-        return Twc_new, jnp.linalg.norm(dx), ok
+        return Twc_new, jnp.sqrt(jnp.sum(dx * dx)), ok  # VPU reduce, not an MXU dot
 
     def cond(state):
         Twc_, it, delta, ok = state

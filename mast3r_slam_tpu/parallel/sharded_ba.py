@@ -146,7 +146,7 @@ def gauss_newton_poses_sharded(
             )
             Twc_new = sim3.retr(Twc_, dx_full)
             keep = jnp.arange(P_total)[:, None] >= pin
-            return jnp.where(keep, Twc_new, Twc_), jnp.linalg.norm(dx), ok
+            return jnp.where(keep, Twc_new, Twc_), jnp.sqrt(jnp.sum(dx * dx)), ok  # VPU reduce, not an MXU dot
 
         def cond(state):
             _, it, delta, ok = state
