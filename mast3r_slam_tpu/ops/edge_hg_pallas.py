@@ -32,15 +32,15 @@ TILE_N = 512
 
 def _kernel(tij_ref, xi_ref, xj_ref, sq_ref, out_ref, *,
             sigma_ray: float, sigma_dist: float, huber_k: float):
-    e = pl.program_id(0)
     t = pl.program_id(1)
 
-    # per-edge Sim3 scalars from the SMEM scalar-prefetch arg (a (1, 8)
-    # SMEM BlockSpec violates the (8, 128)-divisibility lowering rule):
-    # [tx ty tz qx qy qz qw s]
-    tx, ty, tz = tij_ref[e, 0], tij_ref[e, 1], tij_ref[e, 2]
-    qx, qy, qz = tij_ref[e, 3], tij_ref[e, 4], tij_ref[e, 5]
-    qw, s = tij_ref[e, 6], tij_ref[e, 7]
+    # per-edge Sim3 scalars from a (1, 1, 128) VMEM block (an SMEM
+    # scalar-prefetch of the whole (E, 8) array overflows the 1 MB SMEM at
+    # large E; a (1, 8) SMEM/VMEM block violates the (8, 128) lowering
+    # rule): [tx ty tz qx qy qz qw s] in lanes 0..7
+    tx, ty, tz = tij_ref[0, 0, 0], tij_ref[0, 0, 1], tij_ref[0, 0, 2]
+    qx, qy, qz = tij_ref[0, 0, 3], tij_ref[0, 0, 4], tij_ref[0, 0, 5]
+    qw, s = tij_ref[0, 0, 6], tij_ref[0, 0, 7]
 
     xi0, xi1, xi2 = xi_ref[0, 0, :], xi_ref[0, 1, :], xi_ref[0, 2, :]
     xj0, xj1, xj2 = xj_ref[0, 0, :], xj_ref[0, 1, :], xj_ref[0, 2, :]
@@ -139,22 +139,20 @@ def edge_hg_rays_pallas(Tij, Xi_t, Xj_t, sq, *, sigma_ray: float,
     """
     E, _, N = Xi_t.shape
     assert N % TILE_N == 0, (N, TILE_N)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # Tij rides SMEM, indexed by program_id(0)
-        grid=(E, N // TILE_N),
-        in_specs=[
-            pl.BlockSpec((1, 3, TILE_N), lambda e, t, tij: (e, 0, t)),
-            pl.BlockSpec((1, 3, TILE_N), lambda e, t, tij: (e, 0, t)),
-            pl.BlockSpec((1, 1, TILE_N), lambda e, t, tij: (e, 0, t)),
-        ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda e, t, tij: (e, 0, 0)),
-    )
+    Tij_pad = jnp.zeros((E, 1, 128), jnp.float32).at[:, 0, :8].set(Tij)
     out = pl.pallas_call(
         functools.partial(_kernel, sigma_ray=sigma_ray,
                           sigma_dist=sigma_dist, huber_k=huber_k),
         out_shape=jax.ShapeDtypeStruct((E, 8, 128), jnp.float32),
-        grid_spec=grid_spec,
+        grid=(E, N // TILE_N),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda e, t: (e, 0, 0)),
+            pl.BlockSpec((1, 3, TILE_N), lambda e, t: (e, 0, t)),
+            pl.BlockSpec((1, 3, TILE_N), lambda e, t: (e, 0, t)),
+            pl.BlockSpec((1, 1, TILE_N), lambda e, t: (e, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda e, t: (e, 0, 0)),
         # CPU (tests / virtual mesh): Mosaic is TPU-only — interpret
         interpret=jax.default_backend() == "cpu",
-    )(Tij, Xi_t, Xj_t, sq)
+    )(Tij_pad, Xi_t, Xj_t, sq)
     return out[:, :, :8]
