@@ -265,10 +265,15 @@ def patchify(img, patch_size: int):
     return x.reshape(B, (H // P) * (W // P), P * P * C)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def encode_image(params, cfg: ModelConfig, img):
     """img (B, 3, H, W) normalized to [-1, 1] -> (feat (B, N, D) f32, pos).
 
     Reference call stack: dust3r/model.py:127-139 (_encode_image).
+
+    jitted like the other inference entry points — r3's system device
+    profile caught the ENGINE running the encoder EAGERLY (hundreds of op
+    dispatches per frame; bench.py had masked it by wrapping its own jit).
     """
     B, _, H, W = img.shape
     grid = cfg.grid((H, W))

@@ -44,6 +44,7 @@ class ASMKSettings(NamedTuple):
 # quantisation + aggregation
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("k",))
 def quantize(vecs, centroids, k: int):
     """Top-k nearest centroids by L2 (cdist trick).  vecs (n, d) -> (n, k)."""
     d2 = (
@@ -55,6 +56,7 @@ def quantize(vecs, centroids, k: int):
     return idx
 
 
+@jax.jit
 def binarize_pack(vecs):
     """Sign-binarize and pack along the last dim into uint32 (hamming.pyx:79).
 
@@ -84,6 +86,7 @@ def hamming_sim(qvec, vecs, dim: int):
     return 1.0 - 2.0 * dist / dim
 
 
+@partial(jax.jit, static_argnames=("num_words_cap",))
 def aggregate_residuals(vecs, word_ids, centroids, num_words_cap: int):
     """Sum descriptor residuals per assigned word (kernel.py:26-38).
 

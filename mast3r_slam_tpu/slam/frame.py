@@ -185,6 +185,28 @@ class Frame:
 # Keyframe store (SoA, fixed capacity)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _scatter_kf_state(X, C, nf, nu, sc, idx, Xn, Cn, nfn, nun, scn):
+    return (X.at[idx].set(Xn), C.at[idx].set(Cn), nf.at[idx].set(nfn),
+            nu.at[idx].set(nun), sc.at[idx].set(jnp.asarray(scn, sc.dtype)))
+
+
+@jax.jit
+def _kf_slices(X, C, nf, nu, sc, T, feat, pos, idx):
+    return (X[idx], C[idx], nf[idx], nu[idx], sc[idx], T[idx],
+            feat[idx][None], pos[idx][None])
+
+
+@jax.jit
+def _kf_slices_pm(X, C, nf, nu, sc, T, idx):
+    return X[idx], C[idx], nf[idx], nu[idx], sc[idx], T[idx]
+
+
+@jax.jit
+def _kf_slices_feat(feat, pos, idx):
+    return feat[idx][None], pos[idx][None]
+
+
 class KeyframeSnapshot(NamedTuple):
     """Consistent view of the store taken under its lock.
 
@@ -390,7 +412,17 @@ class Keyframes:
 
     def update_pointmap(self, idx: int, X, C, n_fused, n_updates=None,
                         score=None):
+        # ONE fused dispatch for the per-frame commit (it runs every tracked
+        # frame; five separate .at[].set ops cost five device dispatches —
+        # material over the remote tunnel, noise locally but still free)
         with self.lock:
+            if n_updates is not None and score is not None:
+                (self.X, self.C, self.n_fused, self.n_updates,
+                 self.score) = _scatter_kf_state(
+                    self.X, self.C, self.n_fused, self.n_updates, self.score,
+                    idx, X, C, n_fused, n_updates, score,
+                )
+                return
             self.X = self.X.at[idx].set(X)
             self.C = self.C.at[idx].set(C)
             self.n_fused = self.n_fused.at[idx].set(n_fused)
@@ -398,6 +430,20 @@ class Keyframes:
                 self.n_updates = self.n_updates.at[idx].set(n_updates)
             if score is not None:
                 self.score = self.score.at[idx].set(score)
+
+    def slices(self, idx: int):
+        """One-dispatch consistent slice bundle for the tracker: (X, C,
+        n_fused, n_updates, score, T_WC, feat[None], pos[None]) at idx.
+        In pipeline mode the pointmap side lives on the tracker chip and
+        feat/pos on the model chip, so the bundle is two dispatches."""
+        s = self.snapshot()
+        if self.device is None:
+            return _kf_slices(s.X, s.C, s.n_fused, s.n_updates, s.score,
+                              s.T_WC, s.feat, s.pos, idx)
+        pm = _kf_slices_pm(s.X, s.C, s.n_fused, s.n_updates, s.score,
+                           s.T_WC, idx)
+        ft = _kf_slices_feat(s.feat, s.pos, idx)
+        return (*pm, *ft)
 
     def average_conf(self, idx: int):
         return self.C[idx] / jnp.maximum(self.n_fused[idx].astype(self.C.dtype), 1.0)

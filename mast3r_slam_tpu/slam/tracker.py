@@ -285,11 +285,12 @@ class FrameTracker:
         this is issued speculatively before the previous frame's keyframe
         decision lands — `track` re-issues if the keyframe changed.
         """
-        snap = self.keyframes.snapshot()
-        kf_idx = snap.n - 1
-        out = self.model.asymmetric(
-            frame.feat, frame.pos, snap.feat[kf_idx][None], snap.pos[kf_idx][None]
-        )
+        kf = self.keyframes
+        kf_idx = kf.last_idx()
+        # one fused slice dispatch (feat/pos of an existing slot never
+        # mutate, so reusing them at track time is exact)
+        sl = kf.slices(kf_idx)
+        out = self.model.asymmetric(frame.feat, frame.pos, sl[6], sl[7])
         return kf_idx, out
 
     def track_submit(self, frame: Frame, inference=None):
@@ -301,15 +302,21 @@ class FrameTracker:
         ~1 in 5-10 frames, VERDICT r2 item 3).  Returns (frame, out-dict).
         """
         kf = self.keyframes
-        snap = kf.snapshot()
-        kf_idx = snap.n - 1
-        K = snap.K if self.ts.use_calib else jnp.eye(3, dtype=jnp.float32)
+        kf_idx = kf.last_idx()
+        K = kf.K if self.ts.use_calib else jnp.eye(3, dtype=jnp.float32)
+
+        # pointmap-side slices are ALWAYS re-read here (one fused dispatch):
+        # in pipeline mode the previous frame's finish fuses the keyframe
+        # pointmap after the speculative infer took its bundle
+        (kf_X, kf_C, kf_nf, kf_nu, kf_sc, T_WCk, feat_k, pos_k) = kf.slices(
+            kf_idx
+        )
 
         if inference is not None and inference[0] == kf_idx:
             (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = inference[1]
         else:
             (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = self.model.asymmetric(
-                frame.feat, frame.pos, snap.feat[kf_idx][None], snap.pos[kf_idx][None]
+                frame.feat, frame.pos, feat_k, pos_k
             )
 
         N = self.img_hw[0] * self.img_hw[1]
@@ -339,13 +346,13 @@ class FrameTracker:
             jnp.asarray(frame.n_fused, dtype=jnp.int32),
             jnp.asarray(frame.n_updates, dtype=jnp.int32),
             jnp.asarray(frame.score, dtype=jnp.float32),
-            snap.X[kf_idx],
-            snap.C[kf_idx],
-            snap.n_fused[kf_idx],
-            snap.n_updates[kf_idx],
-            snap.score[kf_idx],
+            kf_X,
+            kf_C,
+            kf_nf,
+            kf_nu,
+            kf_sc,
             jax.device_put(frame.T_WC, dev) if dev is not None else frame.T_WC,
-            snap.T_WC[kf_idx],
+            T_WCk,
             self.idx_f2k,
             K,
         )
