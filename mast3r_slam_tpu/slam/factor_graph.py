@@ -32,6 +32,38 @@ def _bucket(n: int, lo: int = 1) -> int:
     return b
 
 
+@jax.jit
+def _store_edges(idx_f, idx_b, vf, vb, qf, qb, start,
+                 n_if, n_ib, n_vf, n_vb, n_qf, n_qb):
+    """ONE dispatch for the six edge-store writes (12 separate scatter +
+    gather ops otherwise — material per backend task over a remote tunnel).
+    Compiles once per n_new (the update row count, typically 1-4)."""
+    upd = jax.lax.dynamic_update_slice
+    return (
+        upd(idx_f, n_if, (start, 0)),
+        upd(idx_b, n_ib, (start, 0)),
+        upd(vf, n_vf, (start, 0, 0)),
+        upd(vb, n_vb, (start, 0, 0)),
+        upd(qf, n_qf, (start, 0, 0)),
+        upd(qb, n_qb, (start, 0, 0)),
+    )
+
+
+@partial(jax.jit, static_argnames=("half",))
+def _expand_two_way(idx_f, idx_b, vf, vb, qf, qb, e_count, half):
+    """Two-way edge expansion in ONE dispatch.
+
+    Layout [forward(0..half) | backward(0..half)] with rows >= e_count
+    masked invalid — the solve is row-order-invariant (scatter-assembled)
+    and zero-weight rows contribute nothing, so this replaces the previous
+    9-dispatch zeros+set packing of [f(0..E) | b(0..E)]."""
+    mask = (jnp.arange(half) < e_count)[:, None, None]
+    idx = jnp.concatenate([idx_f[:half], idx_b[:half]])
+    valid = jnp.concatenate([vf[:half] & mask, vb[:half] & mask])
+    Q = jnp.concatenate([qf[:half], qb[:half]])
+    return idx, valid, Q
+
+
 class FactorGraph:
     def __init__(self, model, cfg, keyframes: Keyframes,
                  img_hw: Tuple[int, int], K=None, edge_capacity: int = 1024,
@@ -134,12 +166,18 @@ class FactorGraph:
         self.ii[sl] = ii_arr[kidx]
         self.jj[sl] = jj_arr[kidx]
         kidx_j = jnp.asarray(kidx)
-        self.idx_ii2jj = self.idx_ii2jj.at[sl].set(self._dev(out["idx_i2j"][kidx_j]))
-        self.idx_jj2ii = self.idx_jj2ii.at[sl].set(self._dev(out["idx_j2i"][kidx_j]))
-        self.valid_match_j = self.valid_match_j.at[sl].set(self._dev(out["valid_j"][kidx_j]))
-        self.valid_match_i = self.valid_match_i.at[sl].set(self._dev(out["valid_i"][kidx_j]))
-        self.Q_ii2jj = self.Q_ii2jj.at[sl].set(self._dev(out["Qj"][kidx_j]))
-        self.Q_jj2ii = self.Q_jj2ii.at[sl].set(self._dev(out["Qi"][kidx_j]))
+        (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+         self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = _store_edges(
+            self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+            self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
+            self.n_edges,
+            self._dev(out["idx_i2j"][kidx_j]),
+            self._dev(out["idx_j2i"][kidx_j]),
+            self._dev(out["valid_j"][kidx_j]),
+            self._dev(out["valid_i"][kidx_j]),
+            self._dev(out["Qj"][kidx_j]),
+            self._dev(out["Qi"][kidx_j]),
+        )
         self.n_edges += n_new
         return True
 
@@ -221,26 +259,26 @@ class FactorGraph:
         p_floor = int(self.lcfg.get("pose_bucket_floor", 16))
         if self.mesh is not None:
             e_floor = max(e_floor, self.mesh.size)
-        Epad = _bucket(2 * E, e_floor)
+        half = _bucket(E, max(e_floor // 2, 1))
+        self._ensure_capacity(half)  # _expand_two_way slices stores[:half]
+        Epad = 2 * half
         Ppad = _bucket(n_kf, p_floor)
         Ppad = min(Ppad, _bucket(self.keyframes.capacity, 2))  # cap at store
 
+        # two-way layout [forward(0..half) | backward(0..half)] matching
+        # _expand_two_way; rows >= E carry valid=False (host-side build of
+        # the small index vectors costs no device dispatch)
         ii2 = np.zeros((Epad,), dtype=np.int32)
         jj2 = np.zeros((Epad,), dtype=np.int32)
         ii2[:E] = self.ii[:E]
         jj2[:E] = self.jj[:E]
-        ii2[E : 2 * E] = self.jj[:E]
-        jj2[E : 2 * E] = self.ii[:E]
+        ii2[half : half + E] = self.jj[:E]
+        jj2[half : half + E] = self.ii[:E]
 
-        idx = jnp.zeros((Epad, self.N), dtype=jnp.int32)
-        idx = idx.at[:E].set(self.idx_ii2jj[:E]).at[E : 2 * E].set(self.idx_jj2ii[:E])
-        valid = jnp.zeros((Epad, self.N, 1), dtype=bool)
-        valid = (
-            valid.at[:E].set(self.valid_match_j[:E])
-            .at[E : 2 * E].set(self.valid_match_i[:E])
+        idx, valid, Q = _expand_two_way(
+            self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+            self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii, E, half,
         )
-        Q = jnp.zeros((Epad, self.N, 1), dtype=jnp.float32)
-        Q = Q.at[:E].set(self.Q_ii2jj[:E]).at[E : 2 * E].set(self.Q_jj2ii[:E])
 
         Twc = snap.T_WC[:Ppad]
         Xs = snap.X[:Ppad]
