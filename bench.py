@@ -134,13 +134,15 @@ def main():
     print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
     run_n(2)  # warmup
 
-    # differential timing cancels the fixed tunnel/dispatch overhead
-    n1, n2 = 5, 15
-    t1 = min(run_n(n1) for _ in range(3))
-    t2 = min(run_n(n2) for _ in range(3))
-    dt = (t2 - t1) / (n2 - n1)
+    # differential timing cancels the fixed tunnel/dispatch overhead;
+    # median-of-reps + upper-bound clamp keeps it positive under the
+    # tunnel's ~10 ms jitter spikes (utils/timing.robust_diff_time)
+    from mast3r_slam_tpu.utils.timing import robust_diff_time
+
+    dt, ub = robust_diff_time(run_n, n1=5, n2=15, reps=3)
     fps = 1.0 / dt
-    print(f"per-frame: {dt*1000:.2f} ms", file=sys.stderr)
+    flag = " (upper bound: jitter swamped differential)" if ub else ""
+    print(f"per-frame: {dt*1000:.2f} ms{flag}", file=sys.stderr)
 
     _report_stages_and_mfu(
         dt, enc, params, img, cfg, grid, ts, (H, W), N,
@@ -367,25 +369,36 @@ def _report_stages_and_mfu(dt_frame, enc, params, img, cfg, grid, ts, hw, N,
         "track_compute": lambda: _track_compute(*track_args)["T_WCf"],
     }
 
-    def time_stage(fn, n1=5, n2=15, reps=2):
+    from mast3r_slam_tpu.utils.timing import robust_diff_time
+
+    def time_stage(fn):
         def run(n):
             t0 = time.time()
             for _ in range(n):
                 out = fn()
-            _ = np.asarray(out).ravel()[:1]
+            _ = np.asarray(out).ravel()[:1]  # fence every timed batch
             return time.time() - t0
 
         run(2)
-        t1 = min(run(n1) for _ in range(reps))
-        t2 = min(run(n2) for _ in range(reps))
-        return (t2 - t1) / (n2 - n1)
+        return robust_diff_time(run, n1=5, n2=15, reps=3)
 
     stage_ms = {}
+    flags = {}
     for name, fn in stages.items():
-        stage_ms[name] = time_stage(fn) * 1e3
+        sec, ub = time_stage(fn)
+        stage_ms[name] = sec * 1e3
+        flags[name] = ub
     total = sum(stage_ms.values())
-    parts = "  ".join(f"{k}={v:.2f}ms" for k, v in stage_ms.items())
-    print(f"stages: {parts}  sum={total:.2f}ms", file=sys.stderr)
+    parts = "  ".join(
+        f"{k}={'<=' if flags[k] else ''}{v:.2f}ms" for k, v in stage_ms.items()
+    )
+    # self-consistency note: stages are timed back-to-back with separate
+    # readbacks, so their sum can exceed the frame time (never the reverse
+    # by more than jitter); print both so the table is interpretable
+    print(
+        f"stages: {parts}  sum={total:.2f}ms  (frame={dt_frame*1e3:.2f}ms)",
+        file=sys.stderr,
+    )
 
     # PER-STAGE FLOPs + bytes from XLA cost analysis (VERDICT r2 item 8):
     # frame-global MFU hides that encode/decode are MXU-bound while

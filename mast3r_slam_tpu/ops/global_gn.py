@@ -98,7 +98,12 @@ class GlobalGNSettings(NamedTuple):
             depth_eps=lo["depth_eps"],
             pin=lo["pin"],
             solver=lo.get("solver", "auto"),
-            dense_max_poses=lo.get("dense_max_poses", 128),
+            # fallback matches the NamedTuple default and base.yaml (ADVICE
+            # r3: a 128 fallback silently flipped externally-built cfg dicts
+            # onto the PCG path beyond 128 free poses)
+            dense_max_poses=lo.get(
+                "dense_max_poses", cls._field_defaults["dense_max_poses"]
+            ),
             pcg_iters=lo.get("pcg_iters", 96),
             pcg_tol=lo.get("pcg_tol", 1e-7),
             pcg_damping=lo.get("pcg_damping", 1e-4),

@@ -24,9 +24,14 @@ class RunControl:
     The engine polls :meth:`proceed` once per frame: it blocks while paused
     (consuming one queued single-step if present) and returns False once
     terminated.  ``conf_threshold`` filters the streamed keyframe
-    pointclouds and the final PLY export (reference main.py:319)."""
+    pointclouds and the final PLY export (reference main.py:319).
 
-    def __init__(self, conf_threshold: float = 1.5):
+    The default matches the engine's headless filter (conf > 1 + 1e-6,
+    pipeline._emit_keyframe) so merely ATTACHING a viewer does not change
+    what is streamed/exported; the slider raises it from there (ADVICE r3).
+    """
+
+    def __init__(self, conf_threshold: float = 1.0 + 1e-6):
         self._lock = threading.Lock()
         self.paused = False
         self.terminated = False

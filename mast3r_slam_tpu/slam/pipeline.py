@@ -489,6 +489,11 @@ class SLAM:
                         pi, pts, pend = pending
                         new_kf, try_reloc = self.tracker.track_finish(pend)
                         self._after_track(pend[0], pts, new_kf, try_reloc)
+                        # fence on the finished frame's pose so frame.latency
+                        # includes device completion (block_until_ready does
+                        # not block over the TPU tunnel — ADVICE r3; mirrors
+                        # the sequential loop's np.asarray fence)
+                        np.asarray(pend[0].T_WC)
                     pending = None
 
                 if prev_frame is not None:

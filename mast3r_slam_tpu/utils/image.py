@@ -76,8 +76,9 @@ def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False):
     # checkpoints ship at those resolutions; the resize/crop arithmetic is
     # valid at any /16-compatible size, which smaller-footprint deployments
     # (and the CPU eval rehearsal) use — keep 224's square-crop special case,
-    # treat everything else like the 512 path
-    assert size == 224 or size >= 16, size
+    # treat everything else like the 512 path.  /16 is required: patchify
+    # downstream assumes it, and failing here beats an opaque shape error
+    assert size == 224 or (size >= 16 and size % 16 == 0), size
     pil = PIL.Image.fromarray(np.uint8(np.clip(img, 0, 1) * 255))
     W1, H1 = pil.size
     long_edge = max(W1, H1)

@@ -30,6 +30,39 @@ def fence(x) -> None:
         pass
 
 
+def robust_diff_time(run_batch, n1: int = 5, n2: int = 15, reps: int = 3):
+    """Per-iteration time from fenced batch timings, robust to dispatch jitter.
+
+    ``run_batch(n)`` must execute n iterations and FENCE (tiny readback)
+    before returning its wall seconds.  Differential timing — slope between
+    batch sizes n1 < n2 — cancels the fixed per-batch dispatch/readback
+    overhead of remote-TPU tunnels, but a min-of-batches differential can go
+    NEGATIVE when only one batch catches a jitter spike (observed as
+    ``encode=-11.47ms`` in BENCH_r03; the tunnel adds ~10 ms spikes).
+
+    Robustness (VERDICT r3 item 4):
+      * median over ``reps`` samples of each batch size (a single spike
+        cannot move the median once reps >= 3);
+      * the differential is clamped to the fastest whole-batch average
+        (an upper bound that INCLUDES overhead — per-iteration time can
+        never legitimately exceed it);
+      * if the differential still comes out non-positive (jitter swamped
+        the signal entirely), fall back to that upper bound and flag it.
+
+    Returns ``(seconds_per_iter, is_upper_bound)``; the result is always
+    positive and finite.
+    """
+    t1 = sorted(run_batch(n1) for _ in range(reps))
+    t2 = sorted(run_batch(n2) for _ in range(reps))
+    med1 = t1[len(t1) // 2]
+    med2 = t2[len(t2) // 2]
+    upper = min(t2) / n2  # fastest batch average (includes fixed overhead)
+    dt = (med2 - med1) / (n2 - n1)
+    if not (dt > 0.0 and np.isfinite(dt)):
+        return upper, True
+    return min(dt, upper), False
+
+
 class StageTimer:
     """Accumulates wall-time per named stage; optional device fencing."""
 
