@@ -49,6 +49,22 @@ def _store_edges(idx_f, idx_b, vf, vb, qf, qb, start,
     )
 
 
+@jax.jit
+def _expand_two_way_subset(idx_f, idx_b, vf, vb, qf, qb, kidx, kmask):
+    """Two-way expansion of an arbitrary EDGE SUBSET in one dispatch.
+
+    kidx (half,) int32 edge rows to keep (padded with 0), kmask (half,) bool.
+    Output layout [forward(kidx) | backward(kidx)] — the windowed solve's
+    analog of :func:`_expand_two_way` (which assumes the kept edges are the
+    contiguous prefix).  Rows with kmask=False carry valid=False and
+    contribute nothing to the scatter-assembled solve."""
+    m = kmask[:, None, None]
+    idx = jnp.concatenate([idx_f[kidx], idx_b[kidx]])
+    valid = jnp.concatenate([vf[kidx] & m, vb[kidx] & m])
+    Q = jnp.concatenate([qf[kidx], qb[kidx]])
+    return idx, valid, Q
+
+
 @partial(jax.jit, static_argnames=("half",))
 def _expand_two_way(idx_f, idx_b, vf, vb, qf, qb, e_count, half):
     """Two-way edge expansion in ONE dispatch.
@@ -89,6 +105,15 @@ class FactorGraph:
         # (gn_kernels.cu:1199-1206 SparseBlock reduction).
         self.mesh = mesh
         self.K = K if K is not None else jnp.eye(3, dtype=jnp.float32)
+        # windowing (local_opt.window_size): bound on FREE poses per solve.
+        # Beyond it, only the most recent `window_size` keyframes are
+        # optimised; older poses referenced by surviving edges enter the
+        # solve as PINNED context (the honest f32 recipe for beyond-
+        # reference-scale graphs — BASELINE.md r3: chain condition numbers
+        # grow O(M^2) past what any on-chip f32 solve resolves; the
+        # reference leans on f64 Eigen, gn_kernels.cu:57-159, and caps the
+        # session at 512 keyframes, frame.py:221).
+        self.window_size = int(float(self.lcfg.get("window_size", 0) or 0))
         N = img_hw[0] * img_hw[1]
         self.N = N
         self.capacity = edge_capacity
@@ -250,6 +275,21 @@ class FactorGraph:
         n_kf = snap.n
         if E == 0 or n_kf <= self.settings.pin:
             return
+        # windowing: bound the number of free poses (see __init__).  Under
+        # `solver: auto` the effective window is additionally clamped to the
+        # dense knee so auto NEVER routes to PCG — the PCG GN loop is a
+        # known on-chip divergence risk (GlobalGNSettings.solver notes);
+        # explicit `solver: pcg` still bypasses the clamp.
+        window = self.window_size
+        if self.settings.solver == "auto":
+            window = (
+                min(window, self.settings.dense_max_poses)
+                if window
+                else self.settings.dense_max_poses
+            )
+        if window and (n_kf - self.settings.pin) > window:
+            self._solve_windowed(mode, snap, E, n_kf, window)
+            return
         # bucket floors trade a little padded compute early in a session for
         # far fewer (Epad, Ppad) jit signatures — each distinct pair is a
         # separate solve compile (20-40 s on the remote TPU compile service,
@@ -285,10 +325,25 @@ class FactorGraph:
         Cs = snap.C[:Ppad] / jnp.maximum(
             snap.n_fused[:Ppad, None, None].astype(jnp.float32), 1.0
         )
+        Twc_new, iters, ok = self._dispatch_solve(
+            Twc, Xs, Cs, ii2, jj2, idx, valid, Q, self.settings, mode
+        )
+        # write back optimized poses for all real keyframes except pinned
+        # (brief lock + generation check inside)
+        self.keyframes.write_back_poses(
+            self.settings.pin, n_kf, snap.generation, Twc_new
+        )
+
+    def _dispatch_solve(self, Twc, Xs, Cs, ii2, jj2, idx, valid, Q,
+                        settings, mode: str):
+        """Run the (mesh-sharded or single-device) global GN on prepared
+        pose/edge arrays."""
         if mode == "calib":
             from ..geometry import constrain_points_to_ray
 
-            Xs = jax.vmap(lambda X: constrain_points_to_ray(self.img_hw, X, self.K))(Xs)
+            Xs = jax.vmap(
+                lambda X: constrain_points_to_ray(self.img_hw, X, self.K)
+            )(Xs)
 
         if self.mesh is not None:
             from ..parallel.mesh import replicate, shard_edges
@@ -298,29 +353,101 @@ class FactorGraph:
             ii_d, jj_d, idx_d, valid_d, Q_d = shard_edges(
                 self.mesh, jnp.asarray(ii2), jnp.asarray(jj2), idx, valid, Q
             )
-            Twc_new, iters, ok = gauss_newton_poses_sharded(
+            return gauss_newton_poses_sharded(
                 self.mesh, Twc_r, Xs_r, Cs_r, ii_d, jj_d, idx_d, valid_d, Q_d,
-                self.K, self.img_hw, self.settings, mode,
+                self.K, self.img_hw, settings, mode,
             )
-        else:
-            Twc_new, iters, ok = gauss_newton_poses(
-                Twc,
-                Xs,
-                Cs,
-                jnp.asarray(ii2),
-                jnp.asarray(jj2),
-                idx,
-                valid,
-                Q,
-                self.K,
-                self.img_hw,
-                self.settings,
-                mode,
+        return gauss_newton_poses(
+            Twc, Xs, Cs,
+            jnp.asarray(ii2), jnp.asarray(jj2), idx, valid, Q,
+            self.K, self.img_hw, settings, mode,
+        )
+
+    def _solve_windowed(self, mode: str, snap, E: int, n_kf: int,
+                        window: int):
+        """Windowed solve: optimise only the last `window` keyframes.
+
+        Poses older than the window are FIXED; edges with at least one
+        endpoint in the window are kept and their old endpoints enter the
+        compact pose array as pinned context (functionally the reference's
+        f64 full solve restricted to the recent past — the f32-on-chip
+        accuracy story for >1024-pose chains is recorded in BASELINE.md r3).
+
+        Static-shape discipline: the compact array is
+        [pinned refs (pow2 pad) | window poses (pow2 pad)], kept edges are
+        padded to a pow2 bucket, and dropped/padded edges map both endpoints
+        to compact slot 0 — a pinned self-loop whose four scatter blocks
+        cancel exactly, so it contributes nothing.
+        """
+        s0 = n_kf - window  # first free pose (s0 >= pin >= 1 by caller)
+        ii_e = self.ii[:E]
+        jj_e = self.jj[:E]
+        keep = (ii_e >= s0) | (jj_e >= s0)
+        kept = np.nonzero(keep)[0].astype(np.int32)
+        if kept.size == 0:
+            return
+        old_ref = np.unique(
+            np.concatenate(
+                [ii_e[keep][ii_e[keep] < s0], jj_e[keep][jj_e[keep] < s0]]
             )
-        # write back optimized poses for all real keyframes except pinned
-        # (brief lock + generation check inside)
+        ).astype(np.int32)
+        if old_ref.size == 0:
+            # window subgraph disconnected from the past: anchor the gauge
+            # on the newest pre-window pose
+            old_ref = np.array([s0 - 1], np.int32)
+
+        pinpad = _bucket(int(old_ref.size), 8)
+        p_floor = int(self.lcfg.get("pose_bucket_floor", 16))
+        Ppad = _bucket(pinpad + window, p_floor)
+        sel = np.concatenate(
+            [
+                old_ref,
+                np.full(pinpad - old_ref.size, old_ref[0], np.int32),
+                np.arange(s0, n_kf, dtype=np.int32),
+                np.full(Ppad - pinpad - window, old_ref[0], np.int32),
+            ]
+        )
+        remap = np.zeros((n_kf,), np.int32)  # unreferenced old poses -> 0
+        remap[old_ref] = np.arange(old_ref.size, dtype=np.int32)
+        remap[s0:n_kf] = pinpad + np.arange(window, dtype=np.int32)
+
+        e_floor = int(self.lcfg.get("edge_bucket_floor", 16))
+        if self.mesh is not None:
+            e_floor = max(e_floor, self.mesh.size)
+        half = _bucket(int(kept.size), max(e_floor // 2, 1))
+        Epad = 2 * half
+        mii = remap[ii_e[kept]]
+        mjj = remap[jj_e[kept]]
+        ii2 = np.zeros((Epad,), np.int32)
+        jj2 = np.zeros((Epad,), np.int32)
+        K_ = kept.size
+        ii2[:K_] = mii
+        jj2[:K_] = mjj
+        ii2[half : half + K_] = mjj
+        jj2[half : half + K_] = mii
+
+        kidx = np.zeros((half,), np.int32)
+        kidx[:K_] = kept
+        kmask = np.zeros((half,), bool)
+        kmask[:K_] = True
+        idx, valid, Q = _expand_two_way_subset(
+            self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+            self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
+            jnp.asarray(kidx), jnp.asarray(kmask),
+        )
+
+        sel_j = jnp.asarray(sel)
+        Twc = snap.T_WC[sel_j]
+        Xs = snap.X[sel_j]
+        Cs = snap.C[sel_j] / jnp.maximum(
+            snap.n_fused[sel_j][:, None, None].astype(jnp.float32), 1.0
+        )
+        settings = self.settings._replace(pin=pinpad)
+        Twc_new, iters, ok = self._dispatch_solve(
+            Twc, Xs, Cs, ii2, jj2, idx, valid, Q, settings, mode
+        )
         self.keyframes.write_back_poses(
-            self.settings.pin, n_kf, snap.generation, Twc_new
+            s0, n_kf, snap.generation, Twc_new, src_offset=pinpad
         )
 
 

@@ -302,9 +302,14 @@ class Keyframes:
                 K=self.K,
             )
 
-    def write_back_poses(self, pin: int, n_snapshot: int, generation: int,
-                         T_new) -> bool:
-        """Install solved poses [pin:n_snapshot] from a backend task.
+    def write_back_poses(self, start: int, n_snapshot: int, generation: int,
+                         T_new, src_offset: int = None) -> bool:
+        """Install solved poses [start:n_snapshot] from a backend task.
+
+        ``T_new`` rows [src_offset : src_offset + (n_snapshot - start)] are
+        written (src_offset defaults to ``start`` — the full-graph solve
+        passes its pose array aligned with the store; the WINDOWED solve
+        passes a compact array whose free poses sit after its pinned block).
 
         Rejected (returns False) when the snapshot's slots no longer mean the
         same keyframes (a pop_last bumped ``generation``).  Appends since the
@@ -312,11 +317,17 @@ class Keyframes:
         newer keyframes keep their tracked poses — the same staleness the
         reference tolerates across its process boundary (main.py:225).
         """
+        if src_offset is None:
+            src_offset = start
         with self.lock:
             if self.generation != generation or self.n < n_snapshot:
                 return False
-            self.T_WC = self.T_WC.at[pin:n_snapshot].set(
-                jnp.asarray(T_new[pin:n_snapshot], self.T_WC.dtype))
+            self.T_WC = self.T_WC.at[start:n_snapshot].set(
+                jnp.asarray(
+                    T_new[src_offset : src_offset + (n_snapshot - start)],
+                    self.T_WC.dtype,
+                )
+            )
             return True
 
     def _ensure_capacity(self, needed: int):
