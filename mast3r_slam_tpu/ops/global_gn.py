@@ -530,11 +530,87 @@ def gauss_newton_poses(
     Q: (E, N, 1).  Padded edges must carry valid_match=False (zero weight).
     Returns (Twc', iters, ok).
     """
-    P = Twc.shape[0]
-
     Xi_all, Xj_all, sq_all, ut_all, vt_all = precompute_edge_data(
         Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, settings, mode, img_hw
     )
+    return _gn_core(
+        Twc, ii, jj, Xi_all, Xj_all, sq_all, ut_all, vt_all, K, img_hw,
+        settings, mode,
+    )
+
+
+@partial(jax.jit, static_argnames=("settings", "mode", "img_hw"))
+def gauss_newton_poses_cached(
+    Twc,
+    Xs,
+    C_raw,
+    n_fused,
+    ii,
+    jj,
+    gath_f,
+    gath_b,
+    idx_ii2jj,
+    valid_match,
+    Q,
+    K,
+    img_hw,
+    settings: GlobalGNSettings,
+    mode: str = "rays",
+):
+    """GN entry for the factor graph's gathered-point cache (BASELINE.md r3:
+    the per-pixel correspondence gather was ~288 ms of every production
+    solve and is POSE-INDEPENDENT — only edges whose source keyframe was
+    re-fused since the last solve need re-gathering, so the graph caches
+    the gathered rows and passes them here instead of `Xs`-indexed pixels).
+
+    gath_f/gath_b: (half, N, 4) cached [X|C_raw] rows for the forward /
+    backward direction of each stored edge; `ii`/`jj` are the two-way
+    expanded (2*half,) pose indices matching ``concat([gath_f, gath_b])``.
+    C_raw/n_fused are the UN-normalised store fields, and Xs is the RAW
+    store pointmap — normalisation and (for calib) the ray constraint happen
+    in here, one fused program instead of the eager prep dispatches.  The
+    cached rows must already be ray-constrained in calib mode (the refresh
+    jit applies `constrain_points_to_ray` before gathering).
+    """
+    nf = jnp.maximum(n_fused.astype(jnp.float32), 1.0)  # (P,)
+    Cs = jnp.asarray(C_raw, jnp.float32) / nf[:, None, None]
+    Xs = jnp.asarray(Xs, jnp.float32)
+    if mode == "calib":
+        from ..geometry import constrain_points_to_ray
+
+        Xs = jax.vmap(lambda X: constrain_points_to_ray(img_hw, X, K))(Xs)
+    Q = jnp.asarray(Q, jnp.float32)
+
+    gath = jnp.concatenate([gath_f, gath_b], axis=0)  # (E, N, 4)
+    Xi = gath[..., 0:3]
+    ci = gath[..., 3] / nf[ii][:, None]
+    Xj = Xs[jj]
+    cj = Cs[jj][..., 0]
+    q = Q[..., 0]
+    valid = (
+        valid_match[..., 0]
+        & (q > settings.Q_conf)
+        & (ci > settings.C_conf)
+        & (cj > settings.C_conf)
+    )
+    H, W = img_hw
+    if mode == "calib":
+        valid = valid & (Xi[..., 2] > settings.depth_eps)
+        ut = (idx_ii2jj % W).astype(Xi.dtype)
+        vt = (idx_ii2jj // W).astype(Xi.dtype)
+    else:
+        ut = jnp.zeros_like(q)
+        vt = jnp.zeros_like(q)
+    sq = jnp.sqrt(q) * valid
+    return _gn_core(
+        Twc, ii, jj, Xi, Xj, sq, ut, vt, K, img_hw, settings, mode
+    )
+
+
+def _gn_core(Twc, ii, jj, Xi_all, Xj_all, sq_all, ut_all, vt_all, K, img_hw,
+             settings: GlobalGNSettings, mode: str):
+    """Shared GN loop over precomputed per-edge correspondence fields."""
+    P = Twc.shape[0]
 
     if mode == "rays":
         block_fn = lambda Twc_, edge: _edge_block_rays(Twc_, settings, edge)

@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import matching
-from ..ops.global_gn import GlobalGNSettings, gauss_newton_poses
+from ..ops.global_gn import (
+    GlobalGNSettings,
+    gauss_newton_poses,
+    gauss_newton_poses_cached,
+)
 from .frame import Keyframes
 
 
@@ -47,6 +51,44 @@ def _store_edges(idx_f, idx_b, vf, vb, qf, qb, start,
         upd(qf, n_qf, (start, 0, 0)),
         upd(qb, n_qb, (start, 0, 0)),
     )
+
+
+@partial(jax.jit, static_argnames=("img_hw", "mode"))
+def _refresh_gather(gf, gb, Xs, C_raw, K, eii, ejj, idx_f, idx_b, pos,
+                    img_hw, mode: str):
+    """Re-gather the cached correspondence rows of STALE edges, one dispatch.
+
+    The per-pixel gather `XsC[kf] at idx` is pose-independent; between two
+    solves only keyframes the tracker fused into (plus freshly added edges)
+    change, so the graph re-gathers just those edges' rows (BASELINE.md r3:
+    full gather ~288 ms/solve at 128 edges; steady-state stale set is the
+    few edges touching the current keyframe).
+
+    gf/gb: (cap, N, 4) cache arrays; eii/ejj (S,) source keyframes;
+    idx_f/idx_b (S, N) match indices; pos (S,) cache rows to write
+    (duplicates allowed — identical values).  Stores RAW C (normalisation
+    happens at solve time) and, in calib mode, ray-constrained X.
+    """
+    XsC = jnp.concatenate(
+        [jnp.asarray(Xs, jnp.float32), jnp.asarray(C_raw, jnp.float32)],
+        axis=-1,
+    )
+    rows_i = XsC[eii]  # (S, N, 4) wide-row gather, cheap
+    rows_j = XsC[ejj]
+    if mode == "calib":
+        from ..geometry import constrain_points_to_ray
+
+        def con(rows):
+            X = jax.vmap(
+                lambda r: constrain_points_to_ray(img_hw, r[..., :3], K)
+            )(rows)
+            return jnp.concatenate([X, rows[..., 3:]], axis=-1)
+
+        rows_i = con(rows_i)
+        rows_j = con(rows_j)
+    new_f = jnp.take_along_axis(rows_i, idx_f[..., None], axis=1)
+    new_b = jnp.take_along_axis(rows_j, idx_b[..., None], axis=1)
+    return gf.at[pos].set(new_f), gb.at[pos].set(new_b)
 
 
 @jax.jit
@@ -127,6 +169,18 @@ class FactorGraph:
         self.valid_match_i = jnp.zeros((edge_capacity, N, 1), dtype=bool)
         self.Q_ii2jj = jnp.zeros((edge_capacity, N, 1), dtype=jnp.float32)
         self.Q_jj2ii = jnp.zeros((edge_capacity, N, 1), dtype=jnp.float32)
+        # gathered-point cache (BASELINE.md r3 lever): per-edge [X|C] rows
+        # gathered at the match indices, refreshed only when the source
+        # keyframe's pointmap version changed.  ~2*N*16 B per edge
+        # (~6.3 MB/edge at 384x512) — bounded by gather_cache_max_edges,
+        # beyond which solves fall back to in-solve gathering.
+        self._gcache_on = bool(self.lcfg.get("gather_cache", True))
+        self._gcache_max = int(self.lcfg.get("gather_cache_max_edges", 256))
+        self._gf = None  # (cache_cap, N, 4) f32
+        self._gb = None
+        self._gcache_cap = 0
+        self._stamp_f = np.full((edge_capacity,), -1, dtype=np.int64)
+        self._stamp_b = np.full((edge_capacity,), -1, dtype=np.int64)
 
     # ------------------------------------------------------------------
     # add factors
@@ -204,6 +258,9 @@ class FactorGraph:
             self._dev(out["Qi"][kidx_j]),
         )
         self.n_edges += n_new
+        # new edges have no cached gather rows yet
+        self._stamp_f[sl] = -1
+        self._stamp_b[sl] = -1
         return True
 
     def _ensure_capacity(self, needed: int):
@@ -230,6 +287,12 @@ class FactorGraph:
         self.Q_jj2ii = grow(self.Q_jj2ii)
         self.ii = np.concatenate([self.ii, np.zeros(pad, np.int32)])
         self.jj = np.concatenate([self.jj, np.zeros(pad, np.int32)])
+        self._stamp_f = np.concatenate(
+            [self._stamp_f, np.full(pad, -1, np.int64)]
+        )
+        self._stamp_b = np.concatenate(
+            [self._stamp_b, np.full(pad, -1, np.int64)]
+        )
         self.capacity = new_cap
 
     def _match_kwargs(self):
@@ -271,6 +334,10 @@ class FactorGraph:
         if mode is None:
             mode = "calib" if self.cfg["use_calib"] else "rays"
         E = self.n_edges
+        # pointmap versions BEFORE the snapshot: a concurrent fusion landing
+        # in between then stamps the cache conservatively (re-gathered next
+        # solve) — never the unsafe direction (stale data, fresh stamp)
+        ver = self.keyframes.pm_version.copy()
         snap = self.keyframes.snapshot()
         n_kf = snap.n
         if E == 0 or n_kf <= self.settings.pin:
@@ -320,19 +387,107 @@ class FactorGraph:
             self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii, E, half,
         )
 
-        Twc = snap.T_WC[:Ppad]
-        Xs = snap.X[:Ppad]
-        Cs = snap.C[:Ppad] / jnp.maximum(
-            snap.n_fused[:Ppad, None, None].astype(jnp.float32), 1.0
-        )
-        Twc_new, iters, ok = self._dispatch_solve(
-            Twc, Xs, Cs, ii2, jj2, idx, valid, Q, self.settings, mode
-        )
+        if self._cache_usable(half):
+            self._refresh_gcache(E, half, ver, snap, mode)
+            Twc_new, iters, ok = gauss_newton_poses_cached(
+                snap.T_WC[:Ppad],
+                snap.X[:Ppad],
+                snap.C[:Ppad],
+                snap.n_fused[:Ppad],
+                jnp.asarray(ii2),
+                jnp.asarray(jj2),
+                self._gf[:half],
+                self._gb[:half],
+                idx,
+                valid,
+                Q,
+                self.K,
+                self.img_hw,
+                self.settings,
+                mode,
+            )
+        else:
+            Twc = snap.T_WC[:Ppad]
+            Xs = snap.X[:Ppad]
+            Cs = snap.C[:Ppad] / jnp.maximum(
+                snap.n_fused[:Ppad, None, None].astype(jnp.float32), 1.0
+            )
+            Twc_new, iters, ok = self._dispatch_solve(
+                Twc, Xs, Cs, ii2, jj2, idx, valid, Q, self.settings, mode
+            )
         # write back optimized poses for all real keyframes except pinned
         # (brief lock + generation check inside)
         self.keyframes.write_back_poses(
             self.settings.pin, n_kf, snap.generation, Twc_new
         )
+
+    # ------------------------------------------------------------------
+    # gathered-point cache
+    # ------------------------------------------------------------------
+
+    def _cache_usable(self, half: int) -> bool:
+        """Cache applies to the single-device full-graph solve (the mesh
+        path shards raw edge fields; the windowed path re-gathers its
+        subset) and is bounded by gather_cache_max_edges."""
+        return (
+            self._gcache_on and self.mesh is None and half <= self._gcache_max
+        )
+
+    def _ensure_gcache(self, half: int):
+        if self._gcache_cap >= half and self._gf is not None:
+            return
+        cap = max(self._gcache_cap, 1)
+        while cap < half:
+            cap *= 2
+        N = self.N
+        # unwritten rows hold FINITE dummy points: zero-weight edges still
+        # flow through norm/divide in the residual models (a zero row would
+        # make 0 * NaN poison the whole reduction — same rule as the Pallas
+        # pixel padding in gauss_newton_poses)
+        if self._gf is None:
+            self._gf = self._dev(jnp.ones((cap, N, 4), jnp.float32))
+            self._gb = self._dev(jnp.ones((cap, N, 4), jnp.float32))
+        else:
+            pad = cap - self._gcache_cap
+            self._gf = jnp.pad(
+                self._gf, ((0, pad), (0, 0), (0, 0)), constant_values=1.0
+            )
+            self._gb = jnp.pad(
+                self._gb, ((0, pad), (0, 0), (0, 0)), constant_values=1.0
+            )
+        self._gcache_cap = cap
+
+    def _refresh_gcache(self, E: int, half: int, ver, snap, mode: str):
+        """Re-gather rows of edges whose source keyframes changed."""
+        self._ensure_gcache(half)
+        ii_e = self.ii[:E]
+        jj_e = self.jj[:E]
+        stale = (self._stamp_f[:E] != ver[ii_e]) | (
+            self._stamp_b[:E] != ver[jj_e]
+        )
+        sidx = np.nonzero(stale)[0].astype(np.int32)
+        if sidx.size == 0:
+            return
+        Spad = _bucket(int(sidx.size), 4)
+        pos = np.full((Spad,), sidx[0], np.int32)
+        pos[: sidx.size] = sidx
+        pos_j = jnp.asarray(pos)
+        self._gf, self._gb = _refresh_gather(
+            self._gf,
+            self._gb,
+            snap.X,
+            snap.C,
+            self.K,
+            jnp.asarray(ii_e[pos]),
+            jnp.asarray(jj_e[pos]),
+            self.idx_ii2jj[pos_j],
+            self.idx_jj2ii[pos_j],
+            pos_j,
+            self.img_hw,
+            mode,
+        )
+        self._stamp_f[sidx] = ver[ii_e[sidx]]
+        self._stamp_b[sidx] = ver[jj_e[sidx]]
 
     def _dispatch_solve(self, Twc, Xs, Cs, ii2, jj2, idx, valid, Q,
                         settings, mode: str):

@@ -271,6 +271,11 @@ class Keyframes:
         self.feat = jnp.zeros((capacity, num_patches, feat_dim), dtype=dtype)
         self.pos = jnp.zeros((capacity, num_patches, 2), dtype=jnp.int32)
         self.K: Optional[jnp.ndarray] = None
+        # host-side per-keyframe POINTMAP version counter: bumped on every
+        # X/C mutation (set_frame / update_pointmap).  Consumers that cache
+        # derived per-keyframe data (the factor graph's gathered-point
+        # cache) compare stamps to decide what to refresh — zero device cost
+        self.pm_version = np.zeros((capacity,), dtype=np.int64)
         # host-side metadata for viz/export
         self.uimgs = [None] * capacity
 
@@ -360,6 +365,9 @@ class Keyframes:
         self.frame_id = np.concatenate(
             [self.frame_id, np.full((pad,), -1, dtype=np.int64)]
         )
+        self.pm_version = np.concatenate(
+            [self.pm_version, np.zeros((pad,), dtype=np.int64)]
+        )
         self.uimgs = self.uimgs + [None] * pad
         self.capacity = new_cap
 
@@ -372,6 +380,7 @@ class Keyframes:
 
     def _set_frame_locked(self, idx: int, frame: Frame):
         self.frame_id[idx] = frame.frame_id
+        self.pm_version[idx] += 1
         self.T_WC = self.T_WC.at[idx].set(
             self._dev(jnp.asarray(frame.T_WC, self.T_WC.dtype)))
         self.X = self.X.at[idx].set(
@@ -427,6 +436,7 @@ class Keyframes:
         # frame; five separate .at[].set ops cost five device dispatches —
         # material over the remote tunnel, noise locally but still free)
         with self.lock:
+            self.pm_version[idx] += 1
             if n_updates is not None and score is not None:
                 (self.X, self.C, self.n_fused, self.n_updates,
                  self.score) = _scatter_kf_state(
