@@ -87,19 +87,23 @@ class RetrievalDatabase:
         sel = extract_topk_features(self.head_params, feat, self.hs)
         return sel[0]
 
-    def query(self, frame, k: int, min_thresh: float = 0.0):
+    def query(self, frame, k: int, min_thresh: float = 0.0,
+              with_scores: bool = False):
         """Query the IVF for loop-closure candidates.
 
         Returns (inds, precomputed) where `precomputed` is the (features,
         quantized codes) pair — pass it to :meth:`add` to store the same
         frame without re-extracting/re-quantizing (the reloc path queries
-        first and adds only on success, main.py:33-57).
+        first and adds only on success, main.py:33-57).  With
+        ``with_scores=True`` additionally returns the full per-image score
+        vector (diagnostics / the reference-asmk parity oracle).
         """
         feats = self._features(frame.feat)
         m = feats.shape[0]
 
         # query with multiple-assignment ma_query
         inds: List[int] = []
+        scores_np = np.zeros((0,), np.float32)
         q_codes = quantize(feats, self.centroids, self.s.ma_query)
         if self.kf_counter > 0:
             agg, words, valid = aggregate_residuals(
@@ -111,6 +115,8 @@ class RetrievalDatabase:
             kk = min(k, self.ivf.n_images)
             top = np.argsort(-scores_np)[:kk]
             inds = [int(i) for i in top if scores_np[i] > min_thresh]
+        if with_scores:
+            return inds, (feats, q_codes), scores_np
         return inds, (feats, q_codes)
 
     def update(self, frame, add_after_query: bool, k: int,
