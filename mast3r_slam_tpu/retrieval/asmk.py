@@ -131,20 +131,40 @@ def _unique_static(x, cap: int):
 
 
 # ---------------------------------------------------------------------------
-# device-resident inverted file
+# device-resident inverted file (word-bucketed)
 # ---------------------------------------------------------------------------
 
 class DeviceIVF:
-    """Fixed-capacity flat IVF (replaces inverted_file.py grow-arrays)."""
+    """Word-bucketed device IVF (replaces inverted_file.py grow-lists).
 
-    def __init__(self, dim: int, settings: ASMKSettings):
+    Entries live in ``(num_words, bucket_cap, ...)`` arrays so a query word
+    touches ONLY its bucket — the TPU analog of the reference's per-word
+    lists (inverted_file.py:40-53).  The earlier flat layout scanned all
+    `capacity` entries per query word (O(capacity x query-words), measured
+    as the longest backend stage once the store grew — VERDICT r3 item 7);
+    here a query gathers Q bucket rows (Q x bucket_cap x ~8 B) and scores
+    them in one fused dispatch, so device time scales with the FILLED
+    bucket depth, not total capacity.
+
+    Bucket depth doubles on demand (pow2 — the jitted search recompiles
+    once per doubling).  Insert-position bookkeeping runs on a host mirror
+    of the per-word fill counts (word ids come back to the host once per
+    add — a few hundred int32s per keyframe).
+    """
+
+    def __init__(self, dim: int, settings: ASMKSettings,
+                 num_words: int = 1024, bucket_cap: int = 16):
         self.dim = dim
         self.words = dim // 32 + (1 if dim % 32 else 0)
         self.s = settings
-        cap = settings.capacity
-        self.vecs = jnp.zeros((cap, self.words), dtype=jnp.uint32)
-        self.word_ids = jnp.full((cap,), -1, dtype=jnp.int32)
-        self.image_ids = jnp.full((cap,), -1, dtype=jnp.int32)
+        self.num_words = num_words
+        self.bucket_cap = bucket_cap
+        # +1 trash bucket for invalid rows (aggregate padding)
+        self.bvecs = jnp.zeros(
+            (num_words + 1, bucket_cap, self.words), dtype=jnp.uint32
+        )
+        self.bimids = jnp.full((num_words + 1, bucket_cap), -1, dtype=jnp.int32)
+        self.fill = np.zeros((num_words + 1,), dtype=np.int64)  # host mirror
         self.norm_factor = jnp.zeros((settings.max_images,), dtype=jnp.float32)
         self.n_entries = 0
         self.n_images = 0
@@ -155,43 +175,54 @@ class DeviceIVF:
         agg_packed (m, words) uint32; words (m,); valid (m,) bool.
         `imid` is the CALLER'S id (the SLAM layer passes the keyframe index,
         so search scores are keyframe-indexed directly — insertion order and
-        keyframe order need not agree, e.g. async reloc).  Always writes the
-        full m-row block (invalid rows keep word_id -1 and never match) so
-        every add has an identical static shape.
+        keyframe order need not agree, e.g. async reloc).  Invalid rows are
+        routed to the trash bucket and never match.
         """
-        m = agg_packed.shape[0]
-        self._ensure_capacity(self.n_entries + m, imid)
         if imid is None:
             imid = self.n_images
-        assert imid < self.s.max_images
-        sl = slice(self.n_entries, self.n_entries + m)
-        self.vecs = self.vecs.at[sl].set(agg_packed)
-        self.word_ids = self.word_ids.at[sl].set(jnp.where(valid, words, -1))
-        self.image_ids = self.image_ids.at[sl].set(
-            jnp.where(valid, imid, -1)
+        words_np = np.asarray(words)
+        valid_np = np.asarray(valid)
+        w = np.where(valid_np, words_np, self.num_words).astype(np.int64)
+        # per-word insert positions: current fill + rank within this batch
+        # (words are unique per add — quantize returns distinct top-k — but
+        # rank-within-run keeps this correct for any caller)
+        order = np.argsort(w, kind="stable")
+        sw = w[order]
+        run_first = np.searchsorted(sw, sw, side="left")
+        rank = np.empty_like(run_first)
+        rank[order] = np.arange(len(w)) - run_first
+        pos = self.fill[w] + rank
+        pos[w == self.num_words] = 0  # trash rows overwrite slot 0
+        need = int(pos[valid_np].max()) + 1 if valid_np.any() else 0
+        self._ensure_capacity(need, imid)
+        self.bvecs, self.bimids = _ivf_write(
+            self.bvecs, self.bimids, agg_packed,
+            jnp.asarray(w.astype(np.int32)),
+            jnp.asarray(pos.astype(np.int32)),
+            jnp.where(jnp.asarray(valid_np), imid, -1).astype(jnp.int32),
         )
         self.norm_factor = self.norm_factor.at[imid].set(
-            jnp.sum(valid.astype(jnp.float32))
+            float(valid_np.sum())
         )
-        self.n_entries += m
+        counts = np.bincount(w[valid_np], minlength=self.num_words + 1)
+        self.fill += counts
+        self.n_entries += int(valid_np.sum())
         self.n_images = max(self.n_images, imid + 1)
 
-    def _ensure_capacity(self, needed_entries: int, imid=None):
-        """Overflow policy: the flat entry array and the per-image norm table
-        double (pow2 — the jitted search recompiles once per doubling) instead
-        of asserting; long-video ingest can exceed the initial 512-keyframe
-        sizing (cf. the reference's fixed grow-lists, inverted_file.py:40-53).
-        """
+    def _ensure_capacity(self, need_depth: int, imid=None):
+        """Double the bucket depth / image table as needed (pow2 growth —
+        long-video ingest must never assert at the reference's fixed caps)."""
         s = self.s
-        cap = s.capacity
-        while cap < needed_entries:
-            cap *= 2
-        if cap != s.capacity:
-            pad = cap - s.capacity
-            self.vecs = jnp.pad(self.vecs, ((0, pad), (0, 0)))
-            self.word_ids = jnp.pad(self.word_ids, (0, pad), constant_values=-1)
-            self.image_ids = jnp.pad(self.image_ids, (0, pad), constant_values=-1)
-            s = s._replace(capacity=cap)
+        bc = self.bucket_cap
+        while bc < need_depth:
+            bc *= 2
+        if bc != self.bucket_cap:
+            pad = bc - self.bucket_cap
+            self.bvecs = jnp.pad(self.bvecs, ((0, 0), (0, pad), (0, 0)))
+            self.bimids = jnp.pad(
+                self.bimids, ((0, 0), (0, pad)), constant_values=-1
+            )
+            self.bucket_cap = bc
         need_img = (imid + 1) if imid is not None else (self.n_images + 1)
         mi = s.max_images
         while mi < need_img:
@@ -200,18 +231,16 @@ class DeviceIVF:
             self.norm_factor = jnp.pad(
                 self.norm_factor, (0, mi - s.max_images)
             )
-            s = s._replace(max_images=mi)
-        self.s = s
+            self.s = s._replace(max_images=mi)
 
     def search(self, agg_packed, q_words, q_valid):
         """Score all images against one query (inverted_file.py:86-107).
 
         Returns scores (max_images,) — entries beyond n_images are 0.
         """
-        return _ivf_search(
-            self.vecs,
-            self.word_ids,
-            self.image_ids,
+        return _ivf_search_bucketed(
+            self.bvecs,
+            self.bimids,
             self.norm_factor,
             agg_packed,
             q_words,
@@ -222,26 +251,79 @@ class DeviceIVF:
             self.s.max_images,
         )
 
+    # flat-entry views for checkpointing (format-stable vs the bucketed
+    # layout: entries as (vec, word, imid) rows in bucket order)
+    def entries(self):
+        vecs_np = np.asarray(self.bvecs[: self.num_words])
+        imids_np = np.asarray(self.bimids[: self.num_words])
+        wsel, dsel = np.nonzero(imids_np >= 0)
+        return (
+            vecs_np[wsel, dsel],
+            wsel.astype(np.int32),
+            imids_np[wsel, dsel],
+        )
+
+    def load_entries(self, vecs, word_ids, image_ids, norm_factor, n_images):
+        """Rebuild buckets from flat entry rows (checkpoint restore)."""
+        ok = word_ids >= 0
+        vecs, word_ids, image_ids = vecs[ok], word_ids[ok], image_ids[ok]
+        self.n_entries = 0
+        self.n_images = 0
+        self.fill[:] = 0
+        self.bimids = jnp.full_like(self.bimids, -1)
+        depth = (
+            int(np.bincount(word_ids, minlength=self.num_words).max())
+            if len(word_ids)
+            else 0
+        )
+        self._ensure_capacity(depth, int(n_images) - 1)
+        order = np.argsort(word_ids, kind="stable")
+        sw = word_ids[order]
+        pos = np.arange(len(sw)) - np.searchsorted(sw, sw, side="left")
+        self.bvecs = self.bvecs.at[
+            jnp.asarray(sw.astype(np.int32)), jnp.asarray(pos.astype(np.int32))
+        ].set(jnp.asarray(vecs[order]))
+        self.bimids = self.bimids.at[
+            jnp.asarray(sw.astype(np.int32)), jnp.asarray(pos.astype(np.int32))
+        ].set(jnp.asarray(image_ids[order].astype(np.int32)))
+        self.fill[: self.num_words] = np.bincount(
+            word_ids, minlength=self.num_words
+        )
+        nf = jnp.asarray(norm_factor)
+        self.norm_factor = self.norm_factor.at[: nf.shape[0]].set(nf)
+        self.n_entries = int(len(word_ids))
+        self.n_images = int(n_images)
+
+
+@jax.jit
+def _ivf_write(bvecs, bimids, packed, w, pos, imids):
+    """One dispatch for an add's bucket writes."""
+    return (
+        bvecs.at[w, pos].set(packed),
+        bimids.at[w, pos].set(imids),
+    )
+
 
 @partial(jax.jit, static_argnames=("dim", "max_images"))
-def _ivf_search(
-    vecs, word_ids, image_ids, norm_factor, q_vecs, q_words, q_valid,
+def _ivf_search_bucketed(
+    bvecs, bimids, norm_factor, q_vecs, q_words, q_valid,
     dim: int, alpha, sim_thresh, max_images: int,
 ):
-    """Dense masked IVF scoring: for every (query word, entry) pair with
-    matching word id, add idf-free kernel similarity to the entry's image."""
-
-    def score_one(qv, qw, qvalid):
-        match = (word_ids == qw) & qvalid  # (cap,)
-        sim = hamming_sim(qv, vecs, dim)
-        sim = jnp.where(match & (sim >= sim_thresh), jnp.power(sim, alpha), 0.0)
-        sim = sim / jnp.sqrt(jnp.maximum(norm_factor[jnp.maximum(image_ids, 0)], 1.0))
-        return jnp.zeros((max_images,), jnp.float32).at[
-            jnp.maximum(image_ids, 0)
-        ].add(jnp.where(match, sim, 0.0))
-
-    scores = jax.lax.map(
-        lambda args: score_one(*args), (q_vecs, q_words, q_valid), batch_size=32
+    """Bucketed IVF scoring, one fused dispatch: gather each query word's
+    bucket, hamming-score it, scatter-add into per-image scores with the
+    idf-off normalization chain (inverted_file.py:86-107)."""
+    qw = jnp.where(q_valid, q_words, bvecs.shape[0] - 1)
+    rows_v = bvecs[qw]  # (Q, B, W) — Q bucket-row gathers
+    rows_i = bimids[qw]  # (Q, B)
+    x = jnp.bitwise_xor(q_vecs[:, None, :], rows_v)
+    dist = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
+    sim = 1.0 - 2.0 * dist / dim
+    match = (rows_i >= 0) & q_valid[:, None]
+    sim = jnp.where(match & (sim >= sim_thresh), jnp.power(sim, alpha), 0.0)
+    imid = jnp.maximum(rows_i, 0)
+    sim = sim / jnp.sqrt(jnp.maximum(norm_factor[imid], 1.0))
+    scores = jnp.zeros((max_images,), jnp.float32).at[imid.ravel()].add(
+        jnp.where(match, sim, 0.0).ravel()
     )
     q_norm = jnp.sqrt(jnp.maximum(jnp.sum(q_valid.astype(jnp.float32)), 1.0))
-    return jnp.sum(scores, axis=0) / q_norm
+    return scores / q_norm

@@ -15,14 +15,59 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from .asmk import (
     ASMKSettings,
     DeviceIVF,
+    _ivf_search_bucketed,
     aggregate_residuals,
     binarize_pack,
     quantize,
 )
 from .head import RetrievalHeadSettings, extract_topk_features, init_head_params
+
+
+@partial(jax.jit, static_argnames=("hs", "ma_query", "dim", "max_images"))
+def _query_compute(head_params, feat, centroids, bvecs, bimids, norm_factor,
+                   alpha, sim_thresh, hs, ma_query: int, dim: int,
+                   max_images: int):
+    """ONE dispatch for the whole query path: head top-k -> quantize ->
+    aggregate -> binarize -> bucketed IVF scoring.
+
+    The r3 path issued ~5 separate programs per query (plus as many for the
+    add) — material over a ~10 ms/dispatch remote tunnel and pure overhead
+    locally (VERDICT r3 item 1).  Returns (scores, feats, codes) so the
+    query-then-add flow can reuse the extraction/quantisation.
+    """
+    feats = extract_topk_features(head_params, feat, hs)[0]
+    m = feats.shape[0]
+    codes = quantize(feats, centroids, ma_query)
+    agg, words, valid = aggregate_residuals(
+        feats, codes, centroids, m * ma_query
+    )
+    packed = binarize_pack(agg)
+    scores = _ivf_search_bucketed(
+        bvecs, bimids, norm_factor, packed, words, valid,
+        dim, alpha, sim_thresh, max_images,
+    )
+    return scores, feats, codes
+
+
+@partial(jax.jit, static_argnames=("hs", "ma_query"))
+def _extract_quantize(head_params, feat, centroids, hs, ma_query: int):
+    """First-frame / add-only path (no search): head + quantize, fused."""
+    feats = extract_topk_features(head_params, feat, hs)[0]
+    return feats, quantize(feats, centroids, ma_query)
+
+
+@partial(jax.jit, static_argnames=("ma_build",))
+def _add_prep(feats, codes, centroids, ma_build: int):
+    """ONE dispatch for the add-side aggregation + binarization."""
+    agg, words, valid = aggregate_residuals(
+        feats, codes[:, :ma_build], centroids, feats.shape[0] * ma_build
+    )
+    return binarize_pack(agg), words, valid
 
 
 class RetrievalDatabase:
@@ -40,7 +85,9 @@ class RetrievalDatabase:
         if asmk_settings is None:
             asmk_settings = ASMKSettings(capacity=512 * head_settings.nfeat)
         self.s = asmk_settings
-        self.ivf = DeviceIVF(dim, asmk_settings)
+        self.ivf = DeviceIVF(
+            dim, asmk_settings, num_words=int(self.centroids.shape[0])
+        )
         self.kf_counter = 0
 
     # ------------------------------------------------------------------
@@ -98,23 +145,26 @@ class RetrievalDatabase:
         ``with_scores=True`` additionally returns the full per-image score
         vector (diagnostics / the reference-asmk parity oracle).
         """
-        feats = self._features(frame.feat)
-        m = feats.shape[0]
-
-        # query with multiple-assignment ma_query
         inds: List[int] = []
         scores_np = np.zeros((0,), np.float32)
-        q_codes = quantize(feats, self.centroids, self.s.ma_query)
         if self.kf_counter > 0:
-            agg, words, valid = aggregate_residuals(
-                feats, q_codes, self.centroids, m * self.s.ma_query
+            ivf = self.ivf
+            scores, feats, q_codes = _query_compute(
+                self.head_params, frame.feat, self.centroids,
+                ivf.bvecs, ivf.bimids, ivf.norm_factor,
+                np.float32(self.s.alpha),
+                np.float32(self.s.similarity_threshold),
+                self.hs, self.s.ma_query, ivf.dim, ivf.s.max_images,
             )
-            packed = binarize_pack(agg)
-            scores = self.ivf.search(packed, words, valid)
-            scores_np = np.asarray(scores)[: self.ivf.n_images]
-            kk = min(k, self.ivf.n_images)
+            scores_np = np.asarray(scores)[: ivf.n_images]
+            kk = min(k, ivf.n_images)
             top = np.argsort(-scores_np)[:kk]
             inds = [int(i) for i in top if scores_np[i] > min_thresh]
+        else:
+            feats, q_codes = _extract_quantize(
+                self.head_params, frame.feat, self.centroids,
+                self.hs, self.s.ma_query,
+            )
         if with_scores:
             return inds, (feats, q_codes), scores_np
         return inds, (feats, q_codes)
@@ -137,15 +187,15 @@ class RetrievalDatabase:
     def add(self, frame, precomputed=None, kf_index: Optional[int] = None):
         """Aggregate with ma_build(=1) assignments and append to the IVF."""
         if precomputed is None:
-            feats = self._features(frame.feat)
-            codes = quantize(feats, self.centroids, self.s.ma_query)
+            feats, codes = _extract_quantize(
+                self.head_params, frame.feat, self.centroids,
+                self.hs, self.s.ma_query,
+            )
         else:
             feats, codes = precomputed
-        build_codes = codes[:, : self.s.ma_build]
-        agg, words, valid = aggregate_residuals(
-            feats, build_codes, self.centroids, feats.shape[0] * self.s.ma_build
+        packed, words, valid = _add_prep(
+            feats, codes, self.centroids, self.s.ma_build
         )
-        packed = binarize_pack(agg)
         self.ivf.add(packed, words, valid,
                      imid=self.kf_counter if kf_index is None else kf_index)
         self.kf_counter += 1

@@ -60,11 +60,13 @@ def save_state(path, slam) -> None:
     # params and codebook are model weights, reloaded at construction.
     rdb = getattr(slam, "retrieval", None)
     if rdb is not None:
-        ne = rdb.ivf.n_entries
+        # format-stable flat entry rows regardless of the device layout
+        # (the bucketed IVF flattens on save, rebuilds buckets on load)
+        vecs, word_ids, image_ids = rdb.ivf.entries()
         arrays.update(
-            ivf_vecs=np.asarray(rdb.ivf.vecs[:ne]),
-            ivf_word_ids=np.asarray(rdb.ivf.word_ids[:ne]),
-            ivf_image_ids=np.asarray(rdb.ivf.image_ids[:ne]),
+            ivf_vecs=vecs,
+            ivf_word_ids=word_ids,
+            ivf_image_ids=image_ids,
             ivf_norm_factor=np.asarray(rdb.ivf.norm_factor),
             ivf_n_images=np.asarray(rdb.ivf.n_images),
             retrieval_kf_counter=np.asarray(rdb.kf_counter),
@@ -118,19 +120,13 @@ def load_state(path, slam) -> None:
 
     rdb = getattr(slam, "retrieval", None)
     if rdb is not None and "ivf_vecs" in data:
-        ivf = rdb.ivf
-        ne = len(data["ivf_vecs"])
-        assert ne <= ivf.s.capacity, "IVF capacity too small for checkpoint"
-        ivf.vecs = ivf.vecs.at[:ne].set(jnp.asarray(data["ivf_vecs"]))
-        ivf.word_ids = ivf.word_ids.at[:ne].set(jnp.asarray(data["ivf_word_ids"]))
-        ivf.image_ids = ivf.image_ids.at[:ne].set(
-            jnp.asarray(data["ivf_image_ids"])
+        rdb.ivf.load_entries(
+            data["ivf_vecs"],
+            data["ivf_word_ids"],
+            data["ivf_image_ids"],
+            data["ivf_norm_factor"],
+            int(data["ivf_n_images"]),
         )
-        nf = jnp.asarray(data["ivf_norm_factor"])
-        assert nf.shape[0] <= ivf.norm_factor.shape[0]
-        ivf.norm_factor = ivf.norm_factor.at[: nf.shape[0]].set(nf)
-        ivf.n_entries = ne
-        ivf.n_images = int(data["ivf_n_images"])
         rdb.kf_counter = int(data["retrieval_kf_counter"])
 
     slam.mode = Mode(int(data["mode"]))

@@ -1,21 +1,18 @@
-"""IVF search cost at full 512-keyframe fill (VERDICT r1 weak item 5).
+"""Bucketed-IVF search scaling with store growth (VERDICT r3 item 7).
 
-The TPU IVF (`retrieval/asmk.py:_ivf_search`) is a DENSE masked scan: each of
-the query's ~1.2k (word, vec) pairs scores hamming similarity against the
-full entry array and scatter-adds into per-image accumulators.  At the
-reference's production sizing (512 keyframes x 20 features x 3 codebook
-assignments ~ 30k entries; capacity padded to the allocation) that is a
-deliberate design point — this script measures it so the "dense scan is
-fine at <=512 kf" claim is a number, not a guess.
+The r3 flat IVF scanned ALL capacity entries per query word —
+O(capacity x query-words), linear in store doublings and measured as the
+longest backend stage on grown stores.  The r4 word-bucketed layout
+(`retrieval/asmk.py:DeviceIVF`) gathers only each query word's bucket, so
+device time should track the FILLED bucket depth (~entries/num_words),
+i.e. stay near-flat across store doublings at production sizing.
 
-Run ON TPU (plain `python scripts/microbench_ivf.py`).
+Run ON TPU (plain `python scripts/microbench_ivf.py`).  Prints search time
+at 1x / 4x / 16x the reference's 512-keyframe fill (production shape:
+64k-word codebook, 300 features/kf, MA-5 queries).
 
-Measured 2026-08-20 (v5e, one process):
-  10240 entries (512 kf), 100 query words: 0.819 ms
-  20480 entries (1024 kf):                 1.259 ms
-Linear-ish in entries, and it runs on the BACKEND path (once per keyframe,
-not per frame) — ~0.8 ms against a ~33 ms frame confirms the dense scan is
-the right design point at (and well past) the reference's 512-kf sizing.
+r3 numbers for reference (flat scan, 1024-word toy sizing):
+  10240 entries (512 kf): 0.819 ms; 20480 (1024 kf): 1.259 ms — linear.
 """
 
 import sys
@@ -32,74 +29,67 @@ from mast3r_slam_tpu.retrieval.asmk import (  # noqa: E402
     DeviceIVF,
     binarize_pack,
 )
+from mast3r_slam_tpu.utils.timing import robust_diff_time  # noqa: E402
 
-DIM = 64          # retrieval head output dim (prod config)
-NFEAT = 20        # features per keyframe stored (ma_build=1 -> 20 entries)
-MA_QUERY = 5      # query-side multiple assignment
+DIM = 64            # retrieval head output dim (prod config)
+NFEAT = 300         # features per keyframe (released checkpoint nfeat)
+NUM_WORDS = 65536   # released codebook size ('64k')
+MA_QUERY = 5
 N_KF = 512
 
 
 def main():
     rng = np.random.default_rng(0)
-    s = ASMKSettings(capacity=N_KF * NFEAT, max_images=N_KF)
-    ivf = DeviceIVF(dim=DIM, settings=s)
+    s = ASMKSettings(capacity=N_KF * NFEAT, max_images=16 * N_KF)
+    ivf = DeviceIVF(dim=DIM, settings=s, num_words=NUM_WORDS)
 
-    t0 = time.time()
-    for im in range(N_KF):
-        packed = binarize_pack(
-            jnp.asarray(rng.normal(size=(NFEAT, DIM)).astype(np.float32))
+    def add_block(lo, hi):
+        t0 = time.time()
+        for im in range(lo, hi):
+            packed = binarize_pack(
+                jnp.asarray(rng.normal(size=(NFEAT, DIM)).astype(np.float32))
+            )
+            words = jnp.asarray(
+                rng.integers(0, NUM_WORDS, size=(NFEAT,), dtype=np.int32)
+            )
+            ivf.add(packed, words, jnp.ones((NFEAT,), bool), imid=im)
+        print(
+            f"filled {ivf.n_entries} entries / {ivf.n_images} images "
+            f"(bucket depth {ivf.bucket_cap}) in {time.time()-t0:.1f}s",
+            flush=True,
         )
-        words = jnp.asarray(
-            rng.integers(0, 65536, size=(NFEAT,), dtype=np.int32)
-        )
-        ivf.add(packed, words, jnp.ones((NFEAT,), bool), imid=im)
-    print(f"filled {ivf.n_entries} entries / {ivf.n_images} images "
-          f"in {time.time()-t0:.1f}s", flush=True)
 
     nq = NFEAT * MA_QUERY
     q_packed = binarize_pack(
         jnp.asarray(rng.normal(size=(nq, DIM)).astype(np.float32))
     )
-    q_words = jnp.asarray(rng.integers(0, 65536, size=(nq,), dtype=np.int32))
+    q_words = jnp.asarray(rng.integers(0, NUM_WORDS, size=(nq,), dtype=np.int32))
     q_valid = jnp.ones((nq,), bool)
 
-    def run():
-        return ivf.search(q_packed, q_words, q_valid)
-
-    out = run()
-    _ = np.asarray(out)  # compile + fence (tunnel-safe readback)
-
-    def timeit(n1=5, n2=25, reps=3):
+    def timeit():
         def batch(n):
             t0 = time.time()
             for _ in range(n):
-                o = run()
+                o = ivf.search(q_packed, q_words, q_valid)
             _ = np.asarray(o)[:1]
             return time.time() - t0
 
         batch(3)
-        t1 = min(batch(n1) for _ in range(reps))
-        t2 = min(batch(n2) for _ in range(reps))
-        return (t2 - t1) / (n2 - n1)
+        dt, ub = robust_diff_time(batch, n1=5, n2=25, reps=3)
+        return dt, ub
 
-    dt = timeit()
-    print(f"_ivf_search at {ivf.n_entries} entries ({N_KF} kf), "
-          f"{nq} query words: {dt*1e3:.3f} ms", flush=True)
-
-    # and at the engine's growth ceiling (2x) to see the scaling slope
-    for im in range(N_KF, 2 * N_KF):
-        packed = binarize_pack(
-            jnp.asarray(rng.normal(size=(NFEAT, DIM)).astype(np.float32))
+    hi = 0
+    for mult in (1, 4, 16):
+        lo, hi = hi, mult * N_KF
+        add_block(lo, hi)
+        _ = np.asarray(ivf.search(q_packed, q_words, q_valid))  # compile+fence
+        dt, ub = timeit()
+        flag = " (upper bound)" if ub else ""
+        print(
+            f"search at {ivf.n_entries} entries ({hi} kf, depth "
+            f"{ivf.bucket_cap}): {dt*1e3:.3f} ms{flag}",
+            flush=True,
         )
-        words = jnp.asarray(
-            rng.integers(0, 65536, size=(NFEAT,), dtype=np.int32)
-        )
-        ivf.add(packed, words, jnp.ones((NFEAT,), bool), imid=im)
-    out = run()
-    _ = np.asarray(out)
-    dt2 = timeit()
-    print(f"_ivf_search at {ivf.n_entries} entries ({2*N_KF} kf): "
-          f"{dt2*1e3:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -76,16 +76,18 @@ def test_ivf_doubles_past_capacity():
 
     rng = np.random.default_rng(0)
     s = ASMKSettings(capacity=16, max_images=2)
-    ivf = DeviceIVF(dim=32, settings=s)
+    # tiny bucketed layout: every image reuses the same 8 words, so bucket
+    # depth must outgrow its initial 2 slots (and max_images its 2)
+    ivf = DeviceIVF(dim=32, settings=s, num_words=8, bucket_cap=2)
     packs = []
-    for im in range(6):  # 6 images x 8 entries = 48 > 16; 6 images > 2
+    for im in range(6):
         packed = binarize_pack(
             jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
         )
         words = jnp.asarray(np.arange(8, dtype=np.int32))
         packs.append((packed, words))
         ivf.add(packed, words, jnp.ones((8,), bool), imid=im)
-    assert ivf.s.capacity >= 48 and ivf.n_entries == 48
+    assert ivf.bucket_cap >= 6 and ivf.n_entries == 48
     assert ivf.s.max_images >= 6 and ivf.n_images == 6
     # entries stored before every doubling still match their own query best
     packed0, words0 = packs[0]
@@ -143,7 +145,7 @@ def test_engine_soak_grows_all_buffers():
     assert result.n_keyframes > 4, "soak should exceed the initial buffer"
     assert slam.keyframes.capacity > 4
     assert slam.graph.n_edges > 4 and slam.graph.capacity > 4
-    assert slam.retrieval.ivf.s.capacity > 8
+    assert slam.retrieval.ivf.s.max_images > 2  # image table grew
     assert slam.retrieval.ivf.n_entries > 8
     # drift may cost reloc episodes; each must recover and the run must end
     # in TRACKING (measured here: 1 reloc frame, recovered first try)
