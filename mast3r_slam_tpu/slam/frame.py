@@ -327,10 +327,15 @@ class Keyframes:
         with self.lock:
             if self.generation != generation or self.n < n_snapshot:
                 return False
+            # _dev: a mesh-sharded solve returns mesh-REPLICATED poses; the
+            # store may be committed to the tracker chip (pipeline mode) —
+            # land the rows there before the scatter
             self.T_WC = self.T_WC.at[start:n_snapshot].set(
-                jnp.asarray(
-                    T_new[src_offset : src_offset + (n_snapshot - start)],
-                    self.T_WC.dtype,
+                self._dev(
+                    jnp.asarray(
+                        T_new[src_offset : src_offset + (n_snapshot - start)],
+                        self.T_WC.dtype,
+                    )
                 )
             )
             return True
