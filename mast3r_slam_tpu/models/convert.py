@@ -208,15 +208,102 @@ def torch_state_dict_to_params(
     }, cfg)
 
 
-def load_torch_checkpoint(path: str, cfg: ModelConfig = VIT_LARGE):
+def parse_arch_string(arch: str) -> Dict[str, Any]:
+    """PARSE (never eval) the checkpoint's pickled model-constructor string.
+
+    The released checkpoints store e.g.
+      "AsymmetricMASt3R(pos_embed='RoPE100', patch_embed_cls='ManyAR_...',
+       img_size=(512, 512), head_type='catmlp+dpt', output_mode='pts3d+desc24',
+       depth_mode=('exp', -inf, inf), conf_mode=('exp', 1, inf),
+       enc_embed_dim=1024, ..., two_confs=True, desc_conf_mode=('exp', 0, inf))"
+    and the reference `eval()`s it (mast3r/model.py:21-37) — arbitrary code
+    execution from a pickle.  Here the string is parsed as an AST call
+    expression and reduced with a constants-only walker (`inf` being the one
+    non-literal name).  Returns {class_name, kwargs}.
+    """
+    import ast
+
+    node = ast.parse(arch.strip(), mode="eval").body
+    if not isinstance(node, ast.Call) or not isinstance(node.func, ast.Name):
+        raise ValueError(f"arch string is not a plain constructor call: {arch!r}")
+
+    def const(n):
+        if isinstance(n, ast.Constant):
+            return n.value
+        if isinstance(n, ast.Name) and n.id == "inf":
+            return float("inf")
+        if isinstance(n, ast.UnaryOp) and isinstance(n.op, ast.USub):
+            return -const(n.operand)
+        if isinstance(n, (ast.Tuple, ast.List)):
+            return tuple(const(e) for e in n.elts)
+        raise ValueError(
+            f"non-literal node {ast.dump(n)} in arch string — refusing"
+        )
+
+    return {
+        "class_name": node.func.id,
+        "kwargs": {kw.arg: const(kw.value) for kw in node.keywords},
+    }
+
+
+def config_from_arch(arch: str, base: ModelConfig = VIT_LARGE) -> ModelConfig:
+    """ModelConfig from a checkpoint arch string (released .pth naming).
+
+    Cross-checked fields: trunk dims/depths/heads, RoPE base, conf-mode
+    offsets, and the descriptor width encoded in output_mode
+    ('pts3d+desc24' -> 24).  Unknown/behavioural kwargs the TPU build fixes
+    by design (landscape_only handling, patch_embed_cls) are ignored.
+    """
+    import dataclasses
+    import re
+
+    kw = parse_arch_string(arch)["kwargs"]
+    upd = {}
+    for k in ("enc_embed_dim", "enc_depth", "enc_num_heads",
+              "dec_embed_dim", "dec_depth", "dec_num_heads", "patch_size"):
+        if k in kw:
+            upd[k] = int(kw[k])
+    if "pos_embed" in kw:
+        m = re.fullmatch(r"RoPE(\d+(?:\.\d+)?)", str(kw["pos_embed"]))
+        if not m:
+            raise ValueError(f"unsupported pos_embed {kw['pos_embed']!r}")
+        upd["rope_base"] = float(m.group(1))
+    if "output_mode" in kw:
+        m = re.fullmatch(r"pts3d\+desc(\d+)", str(kw["output_mode"]))
+        if not m:
+            raise ValueError(f"unsupported output_mode {kw['output_mode']!r}")
+        upd["desc_dim"] = int(m.group(1))
+    for mode_key, field in (("conf_mode", "conf_offset"),
+                            ("desc_conf_mode", "desc_conf_offset")):
+        if mode_key in kw and kw[mode_key] is not None:
+            mode = kw[mode_key]
+            if mode[0] != "exp":
+                raise ValueError(f"unsupported {mode_key} {mode!r}")
+            upd[field] = float(mode[1])
+    return dataclasses.replace(base, **upd)
+
+
+def load_torch_checkpoint(path: str, cfg: ModelConfig = None):
     """Load a reference .pth checkpoint into (params, cfg).
 
-    Parses enc/dec dims out of the stored tensors rather than eval'ing the
-    pickled arch string (the reference evals it, mast3r/model.py:27-33 —
-    we refuse to exec pickled strings).
+    When the checkpoint carries its constructor args (released .pth files
+    do), the arch string is PARSED — never eval'd like the reference does
+    (mast3r/model.py:21-37) — into the ModelConfig; pass an explicit `cfg`
+    to override.  The tensor-derived dims are validated either way.
     """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt["model"] if "model" in ckpt else ckpt
+    sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+    base = cfg if cfg is not None else VIT_LARGE
+    arch = None
+    args = ckpt.get("args") if isinstance(ckpt, dict) else None
+    if args is not None:
+        arch = args.get("model") if isinstance(args, dict) else getattr(
+            args, "model", None
+        )
+    # structural fields (dims/depths/rope/desc/conf offsets) come from the
+    # checkpoint's own arch string; behavioural knobs (compute dtypes, loop
+    # strategies, attn impl) stay with the caller's base config
+    cfg = config_from_arch(arch, base=base) if arch else base
     return torch_state_dict_to_params(sd, cfg), cfg
