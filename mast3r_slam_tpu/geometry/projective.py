@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..lie import sim3
+from ..utils.numerics import vnorm
 
 
 def skew(v):
@@ -23,7 +24,7 @@ def skew(v):
 
 
 def point_to_dist(X):
-    return jnp.linalg.norm(X, axis=-1, keepdims=True)
+    return vnorm(X)  # VPU-exact, never an MXU dot (utils.numerics)
 
 
 def tau_jacobian(dres_dY, Y):

@@ -180,73 +180,62 @@ def exp_so3_quat(phi):
     return jnp.concatenate([imag * phi, real], axis=-1)
 
 
-def _sim3_W_coefficients(theta_sq, theta, sigma, scale):
-    """(C, A, B) such that t = (C I + A [phi]x + B [phi]x^2) tau.
-
-    Mirrors the rxso3 W-coefficient series selected by the reference solver
-    (gn_kernels.cu:324-392); four analytic branches blended with where.
-    """
-    one = jnp.ones_like(sigma)
-    small_sigma = jnp.abs(sigma) < _EPS
-    small_theta = theta_sq < _EPS
-
-    theta_safe = jnp.where(small_theta, 1.0, theta)
-    sigma_safe = jnp.where(small_sigma, 1.0, sigma)
-    sigma_sq = sigma * sigma
-
-    # sigma ~ 0 branches
-    A_ss = jnp.where(
-        small_theta,
-        0.5 * one,
-        (1.0 - jnp.cos(theta)) / jnp.where(small_theta, 1.0, theta_sq),
-    )
-    B_ss = jnp.where(
-        small_theta,
-        one / 6.0,
-        (theta - jnp.sin(theta)) / jnp.where(small_theta, 1.0, theta_sq * theta_safe),
-    )
-    C_ss = one
-
-    # general sigma branches
-    C_gs = (scale - 1.0) / sigma_safe
-    A_gs_smalltheta = ((sigma - 1.0) * scale + 1.0) / jnp.where(small_sigma, 1.0, sigma_sq)
-    B_gs_smalltheta = (scale * 0.5 * sigma_sq + scale - 1.0 - sigma * scale) / jnp.where(
-        small_sigma, 1.0, sigma_sq * sigma_safe
-    )
-    a = scale * jnp.sin(theta)
-    b = scale * jnp.cos(theta)
-    c = theta_sq + sigma_sq
-    c_safe = jnp.where(c == 0.0, 1.0, c)
-    A_gs_gen = (a * sigma + (1.0 - b) * theta) / (theta_safe * c_safe)
-    B_gs_gen = (C_gs - ((b - 1.0) * sigma + a * theta) / c_safe) / jnp.where(
-        small_theta, 1.0, theta_sq
-    )
-    A_gs = jnp.where(small_theta, A_gs_smalltheta, A_gs_gen)
-    B_gs = jnp.where(small_theta, B_gs_smalltheta, B_gs_gen)
-
-    C = jnp.where(small_sigma, C_ss, C_gs)
-    A = jnp.where(small_sigma, A_ss, A_gs)
-    B = jnp.where(small_sigma, B_ss, B_gs)
-    return C, A, B
+_EXP_SQUARINGS = 7  # argument scaled by 2^-7 = 1/128 before the Taylor leg
 
 
 def exp(xi):
-    """Sim(3) exponential map: tangent (..., 7) -> transform (..., 8)."""
+    """Sim(3) exponential map: tangent (..., 7) -> transform (..., 8).
+
+    Computed by SCALING AND SQUARING rather than the closed-form
+    W-coefficient branches the reference uses (gn_kernels.cu:324-392,
+    Sophus-style).  Those formulas are only conditionally stable: for
+    0 < |sigma| or theta below ~1e-2 the "general" branches divide an
+    O(eps)-cancelled numerator by sigma^2 / sigma^3 / theta*c — fine in the
+    reference's f64, CATASTROPHIC in f32.  Measured (r4 retrprobe, real GN
+    steps): at sigma=2.9e-6, theta=8.7e-4, |tau|=1.2e-3 the branch formula's
+    translation was off by 0.94 — an 800x blow-up that made every Sim(3) GN
+    loop on TPU (and, less often, CPU) chase its own retraction damage;
+    this was the true root cause of the r3 "PCG diverges on-chip" issue.
+
+    Scaling-and-squaring is uniformly stable: the 3rd-order Taylor of the
+    translation integral V = sum_{m,n} sigma^m [phi]x^n / (m! n! (m+n+1))
+    is exact to <1e-6 relative once (sigma, theta) are scaled under ~0.03
+    (tau enters LINEARLY — only the rotation/scale arguments need to be
+    small), and each of the 7 squarings is an exact group composition
+    (elementwise quaternion algebra).  Rotation and scale of the FULL
+    argument are taken from the exact quaternion/exp forms, which are
+    stable at every magnitude.
+    """
     tau = xi[..., 0:3]
     phi = xi[..., 3:6]
     sigma = xi[..., 6:7]
 
-    scale = jnp.exp(sigma)
-    q = exp_so3_quat(phi)
+    f = 1.0 / (1 << _EXP_SQUARINGS)
+    ts = tau * f
+    ps = phi * f
+    ss = sigma * f
+    th2 = jnp.sum(ps * ps, axis=-1, keepdims=True)
 
-    theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
-    C, A, B = _sim3_W_coefficients(theta_sq, theta, sigma, scale)
+    # V-series coefficients to combined 3rd order in (sigma, theta)
+    C = 1.0 + ss * (0.5 + ss * (1.0 / 6.0 + ss / 24.0))
+    A = (
+        0.5
+        + ss * (1.0 / 3.0 + ss * (0.125 + ss / 30.0))
+        - th2 * (1.0 / 24.0 + ss / 30.0)
+    )
+    B = (
+        1.0 / 6.0
+        + ss * (0.125 + ss * (1.0 / 20.0 + ss / 72.0))
+        - th2 * (1.0 / 120.0 + ss / 144.0)
+    )
+    pxt = jnp.cross(ps, ts)
+    t = C * ts + A * pxt + B * jnp.cross(ps, pxt)
 
-    phixtau = jnp.cross(phi, tau)
-    phixphixtau = jnp.cross(phi, phixtau)
-    t = C * tau + A * phixtau + B * phixphixtau
-    return make(t, q, scale)
+    T = make(t, exp_so3_quat(ps), jnp.exp(ss))
+    for _ in range(_EXP_SQUARINGS):
+        T = mul(T, T)
+    # exact rotation/scale at the full argument; squaring supplies only t
+    return make(t_of(T), exp_so3_quat(phi), jnp.exp(sigma))
 
 
 def log(T):
@@ -261,7 +250,7 @@ def log(T):
     # SO(3) log from quaternion
     qv = q[..., :3]
     qw = q[..., 3:4]
-    nv = jnp.linalg.norm(qv, axis=-1, keepdims=True)
+    nv = jnp.sqrt(jnp.sum(qv * qv, axis=-1, keepdims=True))  # VPU-exact
     small = nv < _EPS
     nv_safe = jnp.where(small, 1.0, nv)
     # atan2 handles qw<0 (double cover)
@@ -272,19 +261,18 @@ def log(T):
     phi = k * qv
 
     sigma = jnp.log(s)
-    scale = s
 
-    theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
-    C, A, B = _sim3_W_coefficients(theta_sq, theta, sigma, scale)
-
-    # W = C I + A [phi]x + B [phi]x^2 ; solve W tau = t in closed form via
-    # the basis {t, phi x t, phi x (phi x t)}: W^-1 = a I + b [phi]x + c [phi]x^2
-    # with coefficients from the 3x3 system on the invariant subspace.
-    # Simple and robust: build the 3x3 matrix and solve.
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), phi.shape[:-1] + (3, 3))
-    px = _skew(phi)
-    W = C[..., None] * eye + A[..., None] * px + B[..., None] * (px @ px)
+    # W(phi, sigma) built COLUMN-WISE from the stable exponential: the
+    # translation of exp([e_i; phi; sigma]) is exactly W e_i, so the
+    # scaling-and-squaring path (see exp) gives a W free of the f32
+    # W-coefficient cancellation; the 3x3 solve is well-conditioned
+    # (cond(W) ~ O(1) for |sigma| bounded).
+    batch = phi.shape[:-1]
+    cols = []
+    for i in range(3):
+        e = jnp.zeros(batch + (3,), dtype=T.dtype).at[..., i].set(1.0)
+        cols.append(t_of(exp(jnp.concatenate([e, phi, sigma], axis=-1))))
+    W = jnp.stack(cols, axis=-1)  # (..., 3, 3), columns W e_i
     tau = jnp.linalg.solve(W, t[..., None])[..., 0]
     return jnp.concatenate([tau, phi, sigma], axis=-1)
 
@@ -304,7 +292,7 @@ def retr(T, xi):
 def normalize(T):
     """Re-normalise the quaternion block (drift control in long scans)."""
     q = q_of(T)
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    q = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))  # VPU-exact
     return make(t_of(T), q, s_of(T))
 
 

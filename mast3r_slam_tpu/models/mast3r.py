@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from . import dpt as dpt_mod
+from ..utils.numerics import vnorm, vnormalize
 from .layers import (
     decoder_block,
     encoder_block,
@@ -400,11 +401,11 @@ def postprocess(raw, cfg: ModelConfig):
     Q: (B, H, W) descriptor confidence
     """
     xyz = raw[..., 0:3]
-    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    d = vnorm(xyz)  # VPU-exact (utils.numerics)
     X = xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
     C = cfg.conf_offset + jnp.exp(raw[..., 3])
     desc = raw[..., 4 : 4 + cfg.desc_dim]
-    D = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    D = vnormalize(desc)
     Q = cfg.desc_conf_offset + jnp.exp(raw[..., 4 + cfg.desc_dim])
     return X, C, D, Q
 
@@ -474,7 +475,7 @@ def inference_mono(params, cfg: ModelConfig, feat, pos, grid_hw):
         params["head1"]["dpt"], [t.astype(hd) for t in hooks1], grid_hw, 4
     ).astype(jnp.float32)
     xyz = pts_conf[..., 0:3]
-    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    d = vnorm(xyz)  # VPU-exact (utils.numerics)
     X = xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
     C = cfg.conf_offset + jnp.exp(pts_conf[..., 3])
     return X, C

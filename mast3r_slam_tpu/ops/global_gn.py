@@ -56,12 +56,12 @@ class GlobalGNSettings(NamedTuple):
     # auto knee: the (M+1,M+1,7,7) scatter is ~206 MB at M=1024 — dense is
     # memory-viable (and, with the relative Levenberg damping below, its f32
     # Cholesky stays PD at any M).  PCG (O(E) memory) takes over beyond.
-    # NOTE (r3, on-chip): the full GN loop around PCG diverges
-    # DETERMINISTICALLY on TPU (err 0.027->0.28 at M=512) even though a
-    # single PCG linear solve is accurate there (rel_res 1e-4, matching
-    # CPU) and the whole loop converges on CPU — root cause still open
-    # (BASELINE.md); the damped dense path is the correctness-first default
-    # through M=1024.
+    # HISTORY: r3 observed the PCG GN loop diverging deterministically
+    # on-chip; r4 root-caused it to the f32 Sim(3) exp's W-coefficient
+    # cancellation in the RETRACTION (lie/sim3.exp docstring) — with the
+    # scaling-and-squaring exp the loop converges on TPU at M=256/512/1024
+    # (err 0.027 -> 0.0009..0.0028, logs/tpu_r4_exp7.log), so PCG is again
+    # a trusted beyond-the-knee route.
     dense_max_poses: int = 1024
     pcg_iters: int = 96
     pcg_tol: float = 1e-7
@@ -124,10 +124,16 @@ def _ray_residuals(Tij, Xi, Xj):
     (gn_kernels.cu:944-988) and J_local rows are wrt a left perturbation of
     the j-point in i's frame.
     """
-    ni = jnp.linalg.norm(Xi, axis=-1, keepdims=True)
+    # NOT jnp.linalg.norm: on TPU it can lower through an MXU dot whose
+    # DEFAULT precision truncates f32 operands to bf16 (CLAUDE.md).  ~1e-3
+    # relative noise in the unit rays swamps the ~1e-4 residuals near
+    # convergence, turning the GN fixed point into a random walk — the r4
+    # pcg3 bisect showed even f64 solves of on-chip blocks diverging.
+    # Elementwise multiply + VPU reduce is exact f32.
+    ni = jnp.sqrt(jnp.sum(Xi * Xi, axis=-1, keepdims=True))
     ri = Xi / ni
     P = sim3.act(Tij, Xj)
-    nj = jnp.linalg.norm(P, axis=-1, keepdims=True)
+    nj = jnp.sqrt(jnp.sum(P * P, axis=-1, keepdims=True))
     rj = P / nj
 
     err = jnp.concatenate([rj - ri, nj - ni], axis=-1)  # (N, 4)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.image import img_gradient_nhwc
+from ..utils.numerics import vnorm, vnormalize
 
 
 # ---------------------------------------------------------------------------
@@ -90,7 +91,7 @@ def _sample_packed(table, W, u, v, C=None):
 
 def _ray_err(sample, target):
     r = sample[..., 0:3]
-    r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+    r = vnormalize(r)  # VPU-exact (utils.numerics)
     err = r - target
     cost = jnp.sum(err * err, axis=-1)
     return err, cost, sample[..., 3:6], sample[..., 6:9]
@@ -452,12 +453,12 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
     X11/X21: (B, H, W, 3) canonical pointmaps.  Reference matching.py:25-50.
     """
     B, H, W, _ = X11.shape
-    rays = X11 / jnp.linalg.norm(X11, axis=-1, keepdims=True)
+    rays = vnormalize(X11)
     gx, gy = img_gradient_nhwc(rays)  # NHWC-native: no layout transposes
     rays_with_grad = jnp.concatenate([rays, gx, gy], axis=-1)  # (B, H, W, 9)
 
     X21_vec = X21.reshape(B, H * W, 3)
-    pts3d_norm = X21_vec / jnp.linalg.norm(X21_vec, axis=-1, keepdims=True)
+    pts3d_norm = vnormalize(X21_vec)
 
     if idx_1_to_2_init is None:
         idx_1_to_2_init = jnp.broadcast_to(
@@ -635,7 +636,7 @@ def match(
     p1 = p1.astype(jnp.int32)
 
     # occlusion check: 3D distance between matched points
-    dists = jnp.linalg.norm(X11_at - X21.reshape(B, H * W, 3), axis=-1)
+    dists = vnorm(X11_at - X21.reshape(B, H * W, 3), keepdims=False)
     valid = valid_proj & (dists < dist_thresh)
 
     if radius > 0:

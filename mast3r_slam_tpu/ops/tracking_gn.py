@@ -75,7 +75,7 @@ def _gn_loop(residual_fn, T_init, settings: GNSettings):
         T_new = sim3.retr(T, tau)
         # check_convergence (nonlinear_optimizer.py:5-26)
         rel_dec = jnp.abs((old_cost - cost) / jnp.maximum(old_cost, 1e-30))
-        delta = jnp.linalg.norm(tau)
+        delta = jnp.sqrt(jnp.sum(tau * tau))  # VPU reduce, not MXU dot
         converged = (rel_dec < settings.rel_error) | (delta < settings.delta_norm)
         return (T_new, cost, it + 1, converged, ok)
 

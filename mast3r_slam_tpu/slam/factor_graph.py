@@ -342,18 +342,12 @@ class FactorGraph:
         n_kf = snap.n
         if E == 0 or n_kf <= self.settings.pin:
             return
-        # windowing: bound the number of free poses (see __init__).  Under
-        # `solver: auto` the effective window is additionally clamped to the
-        # dense knee so auto NEVER routes to PCG — the PCG GN loop is a
-        # known on-chip divergence risk (GlobalGNSettings.solver notes);
-        # explicit `solver: pcg` still bypasses the clamp.
+        # windowing: bound the number of free poses (see __init__) when
+        # local_opt.window_size is set.  (The r3-era clamp that kept
+        # `solver: auto` off the PCG route is gone: the on-chip PCG GN
+        # divergence was root-caused to the f32 Sim(3) exp retraction and
+        # fixed in r4 — see lie/sim3.exp and GlobalGNSettings.)
         window = self.window_size
-        if self.settings.solver == "auto":
-            window = (
-                min(window, self.settings.dense_max_poses)
-                if window
-                else self.settings.dense_max_poses
-            )
         if window and (n_kf - self.settings.pin) > window:
             self._solve_windowed(mode, snap, E, n_kf, window)
             return

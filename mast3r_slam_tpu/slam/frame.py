@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..lie import sim3
+from ..utils.numerics import vnorm
 
 
 class Mode(IntEnum):
@@ -102,7 +103,7 @@ def fuse_pointmap(X, C, n_fused, n_updates, X_new, C_new, score=None,
         so = score
     elif mode == "weighted_spherical":
         def to_sph(P):
-            r = jnp.linalg.norm(P, axis=-1, keepdims=True)
+            r = vnorm(P)  # VPU-exact (utils.numerics)
             x, y, z = P[..., 0:1], P[..., 1:2], P[..., 2:3]
             return jnp.concatenate(
                 [r, jnp.arctan2(y, x),

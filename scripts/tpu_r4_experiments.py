@@ -456,10 +456,344 @@ def pcg2():
                 )
 
 
+def pcg3():
+    """Host-loop GN bisect: per iteration, compute the edge blocks and the
+    PCG solve ON CHIP, and in parallel solve the SAME on-chip blocks in f64
+    on the host.  Whichever quantity first departs (H_e/g_e, dx, or the
+    retracted trajectory) names the culprit."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial as _p
+
+    from mast3r_slam_tpu.lie import sim3
+    from mast3r_slam_tpu.ops.global_gn import (
+        GlobalGNSettings,
+        _assemble_and_solve_pcg,
+        _edge_block_rays,
+        precompute_edge_data,
+    )
+
+    sys.path.insert(0, "tests")
+    from oracle import arc_trajectory
+
+    rng = np.random.default_rng(0)
+    N, M = 64, 512
+    gt = arc_trajectory(M, radius=2.0, max_angle=6.0)
+    world = rng.uniform(-1, 1, size=(N, 3)).astype(np.float32) + [0, 0, 3]
+    Xs = np.stack(
+        [
+            np.asarray(
+                sim3.act(sim3.inv(jnp.asarray(gt[i])), jnp.asarray(world))
+            )
+            for i in range(M)
+        ]
+    )
+    Cs = np.full((M, N, 1), 2.0, np.float32)
+    e1 = [(i, i + 1) for i in range(M - 1)]
+    loops = [(i, i + 64) for i in range(0, M - 64, 64)]
+    pairs = e1 + [(b, a) for a, b in e1] + loops + [(b, a) for a, b in loops]
+    ii = jnp.asarray(np.array([a for a, b in pairs], np.int32))
+    jj = jnp.asarray(np.array([b for a, b in pairs], np.int32))
+    E = len(pairs)
+    idx = jnp.asarray(np.tile(np.arange(N, dtype=np.int32), (E, 1)))
+    valid = jnp.ones((E, N, 1), bool)
+    Q = jnp.full((E, N, 1), 2.0, jnp.float32)
+    tau = rng.normal(size=(M, 7)).astype(np.float32) * 0.01
+    tau[0] = 0
+    Twc = jnp.asarray(np.asarray(sim3.retr(jnp.asarray(gt), jnp.asarray(tau))))
+
+    s = GlobalGNSettings(edge_batch=64, solver="pcg", hg_impl="reduce")
+    pre = precompute_edge_data(Xs, Cs, ii, jj, idx, valid, Q, s, "rays", (1, 1))
+    Xi, Xj, sq, ut, vt = pre
+
+    @jax.jit
+    def blocks(Twc_):
+        return jax.lax.map(
+            _p(_edge_block_rays, Twc_, s),
+            (ii, jj, Xi, Xj, sq, ut, vt),
+            batch_size=64,
+        )
+
+    @jax.jit
+    def solve_chip(He, ge):
+        return _assemble_and_solve_pcg(
+            He, ge, ii, jj, M, 1, s.pcg_iters, s.pcg_tol, s.pcg_damping,
+            "block",
+        )
+
+    ii_np = np.asarray(ii)
+    jj_np = np.asarray(jj)
+
+    def solve_f64(He, ge):
+        He = np.asarray(He, np.float64)
+        ge = np.asarray(ge, np.float64)
+        Mfree = M - 1
+        io = np.where(ii_np - 1 >= 0, ii_np - 1, Mfree)
+        jo = np.where(jj_np - 1 >= 0, jj_np - 1, Mfree)
+        Hb = np.zeros((Mfree + 1, Mfree + 1, 7, 7))
+        np.add.at(Hb, (io, io), He)
+        np.add.at(Hb, (jo, jo), He)
+        np.add.at(Hb, (io, jo), -He)
+        np.add.at(Hb, (jo, io), -He)
+        gb = np.zeros((Mfree + 1, 7))
+        np.add.at(gb, io, -ge)
+        np.add.at(gb, jo, ge)
+        Hd = Hb[:Mfree, :Mfree].transpose(0, 2, 1, 3).reshape(
+            7 * Mfree, 7 * Mfree
+        )
+        gd = gb[:Mfree].reshape(-1)
+        # same relative Levenberg damping as the chip path
+        D = np.zeros((Mfree, 7, 7))
+        np.add.at(D, io[io < Mfree], He[io < Mfree])
+        np.add.at(D, jo[jo < Mfree], He[jo < Mfree])
+        tr = np.trace(D, axis1=-2, axis2=-1) / 7.0
+        lam = (s.pcg_damping + 1e-6) * np.maximum(tr, 1e-12)
+        Hd = Hd + np.kron(np.diag(lam), np.eye(7))
+        dx = np.linalg.solve(Hd, -gd)
+        return dx.reshape(Mfree, 7)
+
+    def err_of(T):
+        return np.linalg.norm(
+            np.asarray(T)[:, :3] - gt[:, :3], axis=-1
+        ).mean()
+
+    T_chip = Twc      # trajectory driven by on-chip dx
+    T_hyb = Twc       # trajectory driven by f64 dx of on-chip blocks
+    for it in range(8):
+        He_c, ge_c = blocks(T_chip)
+        dx_c, okc = solve_chip(He_c, ge_c)
+        dx_f = solve_f64(He_c, ge_c)
+        dxc = np.asarray(dx_c, np.float64)
+        dd = np.linalg.norm(dxc - dx_f) / max(np.linalg.norm(dx_f), 1e-12)
+        # hybrid trajectory advances with its own blocks + f64 solve
+        He_h, ge_h = blocks(T_hyb)
+        dx_h = solve_f64(He_h, ge_h)
+        retr = jax.jit(sim3.retr)
+        pad = lambda d: jnp.concatenate(
+            [jnp.zeros((1, 7), jnp.float32), jnp.asarray(d, jnp.float32)]
+        )
+        T_chip = retr(T_chip, pad(dx_c))
+        T_hyb = retr(T_hyb, pad(dx_h))
+        print(
+            f"pcg3 it={it}: |dx_chip|={np.linalg.norm(dxc):.3e} "
+            f"|dx_f64|={np.linalg.norm(dx_f):.3e} rel|d|={dd:.3e} "
+            f"err_chip={err_of(T_chip):.4f} err_hyb={err_of(T_hyb):.4f} "
+            f"ok={bool(okc)}",
+            flush=True,
+        )
+
+
+def _pcg4_problem():
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.lie import sim3
+
+    sys.path.insert(0, "tests")
+    from oracle import arc_trajectory
+
+    rng = np.random.default_rng(0)
+    N, M = 64, 512
+    gt = arc_trajectory(M, radius=2.0, max_angle=6.0)
+    world = rng.uniform(-1, 1, size=(N, 3)).astype(np.float32) + [0, 0, 3]
+    Xs = np.stack(
+        [
+            np.asarray(
+                sim3.act(sim3.inv(jnp.asarray(gt[i])), jnp.asarray(world))
+            )
+            for i in range(M)
+        ]
+    )
+    Cs = np.full((M, N, 1), 2.0, np.float32)
+    e1 = [(i, i + 1) for i in range(M - 1)]
+    loops = [(i, i + 64) for i in range(0, M - 64, 64)]
+    pairs = e1 + [(b, a) for a, b in e1] + loops + [(b, a) for a, b in loops]
+    ii = np.array([a for a, b in pairs], np.int32)
+    jj = np.array([b for a, b in pairs], np.int32)
+    E = len(pairs)
+    idx = np.tile(np.arange(N, dtype=np.int32), (E, 1))
+    valid = np.ones((E, N, 1), bool)
+    Q = np.full((E, N, 1), 2.0, np.float32)
+    tau = rng.normal(size=(M, 7)).astype(np.float32) * 0.01
+    tau[0] = 0
+    T0 = np.asarray(sim3.retr(jnp.asarray(gt), jnp.asarray(tau)))
+    return gt, T0, Xs, Cs, ii, jj, idx, valid, Q, M, N
+
+
+def _pcg4_fns(Xs, Cs, ii, jj, idx, valid, Q, M):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial as _p
+
+    from mast3r_slam_tpu.lie import sim3
+    from mast3r_slam_tpu.ops.global_gn import (
+        GlobalGNSettings,
+        _edge_block_rays,
+        precompute_edge_data,
+    )
+
+    s = GlobalGNSettings(edge_batch=64, solver="pcg", hg_impl="reduce")
+    ii_j = jnp.asarray(ii)
+    jj_j = jnp.asarray(jj)
+    pre = precompute_edge_data(
+        jnp.asarray(Xs), jnp.asarray(Cs), ii_j, jj_j, jnp.asarray(idx),
+        jnp.asarray(valid), jnp.asarray(Q), s, "rays", (1, 1),
+    )
+
+    @jax.jit
+    def blocks(Twc_):
+        return jax.lax.map(
+            _p(_edge_block_rays, Twc_, s),
+            (ii_j, jj_j) + tuple(pre),
+            batch_size=64,
+        )
+
+    @jax.jit
+    def retr_pad(T, d):
+        return sim3.retr(
+            T,
+            jnp.concatenate(
+                [jnp.zeros((1, 7), jnp.float32), jnp.asarray(d, jnp.float32)]
+            ),
+        )
+
+    def solve_f64(He, ge):
+        He = np.asarray(He, np.float64)
+        ge = np.asarray(ge, np.float64)
+        Mfree = M - 1
+        io = np.where(ii - 1 >= 0, ii - 1, Mfree)
+        jo = np.where(jj - 1 >= 0, jj - 1, Mfree)
+        Hb = np.zeros((Mfree + 1, Mfree + 1, 7, 7))
+        np.add.at(Hb, (io, io), He)
+        np.add.at(Hb, (jo, jo), He)
+        np.add.at(Hb, (io, jo), -He)
+        np.add.at(Hb, (jo, io), -He)
+        gb = np.zeros((Mfree + 1, 7))
+        np.add.at(gb, io, -ge)
+        np.add.at(gb, jo, ge)
+        Hd = Hb[:Mfree, :Mfree].transpose(0, 2, 1, 3).reshape(
+            7 * Mfree, 7 * Mfree
+        )
+        gd = gb[:Mfree].reshape(-1)
+        D = np.zeros((Mfree, 7, 7))
+        np.add.at(D, io[io < Mfree], He[io < Mfree])
+        np.add.at(D, jo[jo < Mfree], He[jo < Mfree])
+        tr = np.trace(D, axis1=-2, axis2=-1) / 7.0
+        lam = 1e-4 * np.maximum(tr, 1e-12)
+        Hd = Hd + np.kron(np.diag(lam), np.eye(7))
+        return np.linalg.solve(Hd, -gd).reshape(Mfree, 7)
+
+    return blocks, retr_pad, solve_f64
+
+
+def pcg4ref():
+    """CPU reference: GN trajectory + per-iteration blocks/dx -> npz."""
+    gt, T0, Xs, Cs, ii, jj, idx, valid, Q, M, N = _pcg4_problem()
+    blocks, retr_pad, solve_f64 = _pcg4_fns(Xs, Cs, ii, jj, idx, valid, Q, M)
+    T = T0
+    Ts, Hes, ges, dxs = [], [], [], []
+    for it in range(6):
+        He, ge = blocks(T)
+        dx = solve_f64(He, ge)
+        Ts.append(np.asarray(T))
+        Hes.append(np.asarray(He))
+        ges.append(np.asarray(ge))
+        dxs.append(dx)
+        T = np.asarray(retr_pad(T, dx))
+        err = np.linalg.norm(T[:, :3] - gt[:, :3], axis=-1).mean()
+        print(f"pcg4ref it={it}: |dx|={np.linalg.norm(dx):.3e} err={err:.4f}",
+              flush=True)
+    np.savez(
+        "/tmp/pcg4_ref.npz",
+        T=np.stack(Ts), He=np.stack(Hes), ge=np.stack(ges),
+        dx=np.stack(dxs),
+    )
+    print("saved /tmp/pcg4_ref.npz", flush=True)
+
+
+def pcg4cmp():
+    """TPU: evaluate blocks/solve at the SAME states as the CPU reference —
+    function-level comparison immune to chaotic trajectory amplification."""
+    import jax.numpy as jnp
+
+    gt, T0, Xs, Cs, ii, jj, idx, valid, Q, M, N = _pcg4_problem()
+    blocks, retr_pad, solve_f64 = _pcg4_fns(Xs, Cs, ii, jj, idx, valid, Q, M)
+    ref = np.load("/tmp/pcg4_ref.npz")
+    for it in range(ref["T"].shape[0]):
+        T = jnp.asarray(ref["T"][it])
+        He, ge = blocks(T)
+        He = np.asarray(He, np.float64)
+        ge = np.asarray(ge, np.float64)
+        dHe = np.linalg.norm(He - ref["He"][it]) / max(
+            np.linalg.norm(ref["He"][it]), 1e-12
+        )
+        dge = np.linalg.norm(ge - ref["ge"][it]) / max(
+            np.linalg.norm(ref["ge"][it]), 1e-12
+        )
+        dx_of_tpu_blocks = solve_f64(He, ge)
+        ddx = np.linalg.norm(dx_of_tpu_blocks - ref["dx"][it]) / max(
+            np.linalg.norm(ref["dx"][it]), 1e-12
+        )
+        # retraction check: retract the CPU state by the CPU dx ON CHIP
+        T_next = np.asarray(retr_pad(T, ref["dx"][it]), np.float64)
+        if it + 1 < ref["T"].shape[0]:
+            dT = np.abs(T_next - ref["T"][it + 1]).max()
+        else:
+            dT = float("nan")
+        print(
+            f"pcg4cmp it={it}: rel|dHe|={dHe:.3e} rel|dge|={dge:.3e} "
+            f"rel|ddx(f64 of chip blocks)|={ddx:.3e} max|dretr|={dT:.3e}",
+            flush=True,
+        )
+
+
+def retrprobe():
+    """Confirm the retraction root cause: evaluate sim3.exp ON CHIP at the
+    exact GN steps recorded by pcg4ref and compare the translation part
+    against an f64 scipy expm oracle; report the worst poses + their
+    (sigma, theta) — the W-coefficient cancellation region."""
+    import jax.numpy as jnp
+    from scipy.linalg import expm
+
+    from mast3r_slam_tpu.lie import sim3
+
+    ref = np.load("/tmp/pcg4_ref.npz")
+    for it in range(ref["dx"].shape[0]):
+        dx = ref["dx"][it].astype(np.float32)  # (M-1, 7)
+        T_chip = np.asarray(sim3.exp(jnp.asarray(dx)), np.float64)
+
+        # f64 oracle via matrix exponential of [[sigma I + [phi]x, tau],[0,0]]
+        t64 = np.zeros((len(dx), 3))
+        for i, xi in enumerate(dx.astype(np.float64)):
+            tau, phi, sg = xi[0:3], xi[3:6], xi[6]
+            P = np.array(
+                [[0, -phi[2], phi[1]], [phi[2], 0, -phi[0]],
+                 [-phi[1], phi[0], 0]]
+            )
+            M4 = np.zeros((4, 4))
+            M4[:3, :3] = sg * np.eye(3) + P
+            M4[:3, 3] = tau
+            t64[i] = expm(M4)[:3, 3]
+        err = np.abs(T_chip[:, 0:3] - t64).max(axis=-1)
+        w = int(np.argmax(err))
+        xi = dx[w].astype(np.float64)
+        sg = xi[6]
+        th = np.linalg.norm(xi[3:6])
+        print(
+            f"retrprobe it={it}: max|t_chip - t_f64|={err.max():.3e} "
+            f"(pose {w}: sigma={sg:.3e} theta={th:.3e} |tau|="
+            f"{np.linalg.norm(xi[:3]):.3e}); p99={np.percentile(err,99):.3e}",
+            flush=True,
+        )
+
+
 SECTIONS = {
     "gatherprobe": gatherprobe,
     "gatherprobe2": gatherprobe2,
     "pcg2": pcg2,
+    "pcg3": pcg3,
+    "pcg4ref": pcg4ref,
+    "pcg4cmp": pcg4cmp,
+    "retrprobe": retrprobe,
     "pcg": pcg,
     "cache": cache,
     "ivf": ivf,

@@ -151,3 +151,47 @@ def test_log_handles_quaternion_double_cover(rng):
         M1 = np_matrix(T_neg[i])
         M2 = np_matrix(back[i])
         np.testing.assert_allclose(M1, M2, atol=1e-8)
+
+
+def test_exp_translation_accuracy_in_cancellation_region():
+    """f32 exp must stay accurate where the closed-form W-coefficient
+    branches catastrophically cancel (small-but-not-tiny sigma/theta).
+
+    r4 regression: at sigma=2.9e-6, theta=8.7e-4 the branch formulas'
+    translation was off by ~0.94 against f64 (an 800x blow-up on a real GN
+    step — the root cause of the on-chip PCG divergence).  The
+    scaling-and-squaring exp must hold ~1e-5 absolute across the whole
+    (sigma, theta) grid, including exact zeros and branch boundaries."""
+    from scipy.linalg import expm
+
+    rng = np.random.default_rng(0)
+    sigmas = [0.0, 1e-8, 1e-7, 2.9e-6, 1e-5, 1e-4, 1e-3, 1e-2, 0.1, 0.5,
+              -2.9e-6, -1e-3, -0.1]
+    thetas = [0.0, 1e-8, 1e-6, 8.7e-4, 1e-2, 0.3, 2.0, 3.1]
+    worst = 0.0
+    for sg in sigmas:
+        for th in thetas:
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            tau = rng.normal(size=3)
+            xi32 = np.concatenate([tau, th * axis, [sg]]).astype(np.float32)
+            T = np.asarray(sim3.exp(jnp.asarray(xi32)), np.float64)
+            xi = xi32.astype(np.float64)
+            P = np.array(
+                [[0, -xi[5], xi[4]], [xi[5], 0, -xi[3]],
+                 [-xi[4], xi[3], 0]]
+            )
+            M4 = np.zeros((4, 4))
+            M4[:3, :3] = xi[6] * np.eye(3) + P
+            M4[:3, 3] = xi[0:3]
+            t_ref = expm(M4)[:3, 3]
+            err = np.abs(T[0:3] - t_ref).max()
+            worst = max(worst, err)
+            assert err < 2e-5, (sg, th, err)
+    # and the exact regression case from the r4 GN step
+    xi = np.zeros(7, np.float32)
+    xi[0:3] = [1.15e-3, 0, 0]
+    xi[3:6] = [0, 8.716e-4, 0]
+    xi[6] = 2.949e-6
+    T = np.asarray(sim3.exp(jnp.asarray(xi)), np.float64)
+    assert np.abs(T[0] - 1.15e-3) < 1e-6, T[0:3]

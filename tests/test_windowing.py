@@ -144,19 +144,19 @@ def test_no_window_below_threshold():
     )
 
 
-def test_auto_clamps_window_to_dense_knee():
-    """solver=auto + huge window_size: the effective window is the dense
-    knee, so the PCG path is structurally unreachable."""
+def test_auto_beyond_knee_routes_pcg_unwindowed():
+    """solver=auto + unbounded window_size: past the dense knee the solve
+    routes to PCG over ALL poses (no windowing clamp — the r3-era on-chip
+    PCG divergence was root-caused to the Sim3-exp retraction and fixed in
+    r4, lie/sim3.exp), and every perturbed pose is recovered."""
     M, N = 9, 32
-    gt, noisy, Xs, _ = _make_problem(M, N, perturb_from=5, seed=7)
+    gt, noisy, Xs, _ = _make_problem(M, N, perturb_from=1, seed=7)
     edges = [(i, i + 1) for i in range(M - 1)]
     g, kf = _build_graph(noisy, Xs, int(1e6), edges, N)
     g.settings = g.settings._replace(dense_max_poses=4)  # knee below M-1
-    old = np.asarray(kf.T_WC[: M - 4]).copy()
     g.solve(mode="rays")
     T = np.asarray(kf.T_WC[:M])
-    # windowed at the knee: only the last 4 poses moved
-    np.testing.assert_array_equal(T[: M - 4], old)
-    err = np.linalg.norm(T[M - 4 :, :3] - gt[M - 4 :, :3], axis=-1)
-    init = np.linalg.norm(noisy[M - 4 :, :3] - gt[M - 4 :, :3], axis=-1)
+    err = np.linalg.norm(T[1:, :3] - gt[1:, :3], axis=-1)
+    init = np.linalg.norm(noisy[1:, :3] - gt[1:, :3], axis=-1)
+    # ALL free poses moved toward gt, including those before the knee
     assert err.max() < 0.05 * init.max()
