@@ -46,6 +46,16 @@ def _watchdog(seconds: float):
 
 
 def main():
+    # persistent compilation cache: the system bench's pass-0 compile stack
+    # (~10 backend programs) dominated the r3 wall budget; when the backend
+    # supports executable serialization this makes replay runs (and repeat
+    # driver invocations) skip it entirely.  Harmless no-op otherwise.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mast3r_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        print(f"compilation cache unavailable: {e!r}", file=sys.stderr)
+
     from mast3r_slam_tpu.models import mast3r as M
     from mast3r_slam_tpu.slam.tracker import TrackerSettings, _track_compute
     from mast3r_slam_tpu.config import load_config
