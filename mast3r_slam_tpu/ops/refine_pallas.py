@@ -10,11 +10,17 @@ whole image resident in VMEM and performs the 9 candidate lookups as
 in-VMEM `jnp.take` gathers, so HBM sees only the index/descriptor streams:
 ~N*(F+8) bytes instead of ~N*(4+36+9F) plus the table build.
 
-Whether Mosaic's in-VMEM dynamic gather is fast enough is exactly the
-open question the r3 verdict flagged ("XLA gathers are the wall" was only
-ever measured against HBM) — `scripts/tpu_r4_experiments.py gatherprobe`
-measures the primitive, and `refine1` A/Bs this kernel against the XLA
-path.  Reference semantics: matching_kernels.cu:26-81 with radius=1.
+OUTCOME (r4, measured — BASELINE.md "Pallas matcher attempt"): NEGATIVE.
+Mosaic exposes exactly one gather lowering (the same-shape per-lane
+`take_along_axis` form, jax lowering.py:_gather_lowering_rule) and that
+form fails to compile through the remote service at every probed size
+(scripts/tpu_r4_experiments.py gatherprobe/gatherprobe2) — in-VMEM dynamic
+gather is not expressible from this toolchain, and per-row DMA costs
+orders more than XLA's gather engine (measured 2.5-6.7 ns/row at full N,
+~the random-HBM-transaction ceiling).  This kernel is kept interpret-mode
+tested (tests/test_refine_pallas.py) as the design artifact; the XLA
+phrasings in ops/matching.py remain the production path.
+Reference semantics: matching_kernels.cu:26-81 with radius=1.
 """
 
 from __future__ import annotations
