@@ -472,5 +472,11 @@ class Keyframes:
         ft = _kf_slices_feat(s.feat, s.pos, idx)
         return (*pm, *ft)
 
+    def feat_slices(self, idx: int):
+        """(feat[None], pos[None]) at idx — the encoder-token side only
+        (one dispatch).  Tokens of an existing slot never mutate."""
+        s = self.snapshot()
+        return _kf_slices_feat(s.feat, s.pos, idx)
+
     def average_conf(self, idx: int):
         return self.C[idx] / jnp.maximum(self.n_fused[idx].astype(self.C.dtype), 1.0)

@@ -251,6 +251,35 @@ def _track_compute(
     )
 
 
+@partial(jax.jit, static_argnames=("ts", "img_hw"))
+def _track_compute_stored(
+    ts: TrackerSettings,
+    img_hw: Tuple[int, int],
+    Xii, Cii, Dii, Qii,
+    Xji, Cji, Dji, Qji,
+    frame_X, frame_C, frame_n_fused, frame_n_updates, frame_score,
+    kf_Xs, kf_Cs, kf_nfs, kf_nus, kf_scs, T_WCs,   # FULL store arrays
+    kf_idx,
+    T_WCf,
+    idx_init,
+    K,
+):
+    """`_track_compute` with the keyframe slice folded in.
+
+    Passing the store arrays and slicing in-jit removes the separate
+    per-frame slice dispatch (material over a ~10 ms/dispatch remote
+    tunnel; free locally — inputs are read-only references, XLA fuses the
+    dynamic-slice into the consumers).  Semantically identical to
+    slices() + `_track_compute`."""
+    return _track_compute(
+        ts, img_hw,
+        Xii, Cii, Dii, Qii, Xji, Cji, Dji, Qji,
+        frame_X, frame_C, frame_n_fused, frame_n_updates, frame_score,
+        kf_Xs[kf_idx], kf_Cs[kf_idx], kf_nfs[kf_idx], kf_nus[kf_idx],
+        kf_scs[kf_idx], T_WCf, T_WCs[kf_idx], idx_init, K,
+    )
+
+
 class FrameTracker:
     """Host orchestration + decisions around ``_track_compute``.
 
@@ -287,10 +316,11 @@ class FrameTracker:
         """
         kf = self.keyframes
         kf_idx = kf.last_idx()
-        # one fused slice dispatch (feat/pos of an existing slot never
-        # mutate, so reusing them at track time is exact)
-        sl = kf.slices(kf_idx)
-        out = self.model.asymmetric(frame.feat, frame.pos, sl[6], sl[7])
+        # feat/pos of an existing slot never mutate, so reusing them at
+        # track time is exact (one feat-side slice dispatch; the pointmap
+        # side is sliced INSIDE `_track_compute_stored`)
+        feat_k, pos_k = kf.feat_slices(kf_idx)
+        out = self.model.asymmetric(frame.feat, frame.pos, feat_k, pos_k)
         return kf_idx, out
 
     def track_submit(self, frame: Frame, inference=None):
@@ -305,16 +335,17 @@ class FrameTracker:
         kf_idx = kf.last_idx()
         K = kf.K if self.ts.use_calib else jnp.eye(3, dtype=jnp.float32)
 
-        # pointmap-side slices are ALWAYS re-read here (one fused dispatch):
-        # in pipeline mode the previous frame's finish fuses the keyframe
-        # pointmap after the speculative infer took its bundle
-        (kf_X, kf_C, kf_nf, kf_nu, kf_sc, T_WCk, feat_k, pos_k) = kf.slices(
-            kf_idx
-        )
+        # pointmap-side state is passed as the FULL store arrays and sliced
+        # INSIDE `_track_compute_stored` (always-fresh snapshot; one fewer
+        # device dispatch per frame).  In pipeline mode the previous frame's
+        # finish fuses the keyframe pointmap after the speculative infer —
+        # the snapshot below is taken after that finish, so it is current.
+        snap = kf.snapshot()
 
         if inference is not None and inference[0] == kf_idx:
             (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = inference[1]
         else:
+            feat_k, pos_k = kf.feat_slices(kf_idx)
             (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = self.model.asymmetric(
                 frame.feat, frame.pos, feat_k, pos_k
             )
@@ -336,7 +367,7 @@ class FrameTracker:
                 )
             )
 
-        out = _track_compute(
+        out = _track_compute_stored(
             self.ts,
             self.img_hw,
             Xii, Cii, Dii, Qii,
@@ -346,13 +377,10 @@ class FrameTracker:
             jnp.asarray(frame.n_fused, dtype=jnp.int32),
             jnp.asarray(frame.n_updates, dtype=jnp.int32),
             jnp.asarray(frame.score, dtype=jnp.float32),
-            kf_X,
-            kf_C,
-            kf_nf,
-            kf_nu,
-            kf_sc,
+            snap.X, snap.C, snap.n_fused, snap.n_updates, snap.score,
+            snap.T_WC,
+            jnp.asarray(kf_idx, dtype=jnp.int32),
             jax.device_put(frame.T_WC, dev) if dev is not None else frame.T_WC,
-            T_WCk,
             self.idx_f2k,
             K,
         )
