@@ -621,11 +621,32 @@ class MatchKwargs(dict):
 
 @partial(jax.jit, static_argnames=("img_hw", "mk"))
 def _add_factors_compute(img_hw, res, Q_conf, mk: MatchKwargs):
-    """Two-way matching + Q aggregation for B edges.
+    """Two-way matching + Q aggregation for B edges — ONE dispatch.
 
     Mirrors mast3r_match_symmetric (mast3r_utils.py:142-180) + the Q
-    aggregation in global_opt.py:55-66, fully batched on device.
+    aggregation in global_opt.py:55-66.  The matcher is UNROLLED per edge
+    pair inside the program rather than run at batch 2B: batched matching
+    lowers ~2x worse per image on TPU (19.5 ms/matching at 2B=2 vs
+    34-35 ms at 2B=4..8 — scripts/microbench_backend_match.py, r4; the
+    window-table gathers degrade past batch 2), so B sequential pair
+    matchers are both faster on-device and still a single dispatch.
     """
+    B = res[0][0].shape[0]
+    if B > 1:
+        def pair(b):
+            sl = tuple(
+                tuple(x[b : b + 1] for x in quad) for quad in res
+            )
+            return _add_factors_pair(img_hw, sl, Q_conf, mk)
+
+        outs = [pair(b) for b in range(B)]
+        return {
+            k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]
+        }
+    return _add_factors_pair(img_hw, res, Q_conf, mk)
+
+
+def _add_factors_pair(img_hw, res, Q_conf, mk: MatchKwargs):
     H, W = img_hw
     N = H * W
     res_ii, res_ji, res_jj, res_ij = res
