@@ -195,14 +195,12 @@ class DeviceIVF:
         pos[w == self.num_words] = 0  # trash rows overwrite slot 0
         need = int(pos[valid_np].max()) + 1 if valid_np.any() else 0
         self._ensure_capacity(need, imid)
-        self.bvecs, self.bimids = _ivf_write(
-            self.bvecs, self.bimids, agg_packed,
+        self.bvecs, self.bimids, self.norm_factor = _ivf_write(
+            self.bvecs, self.bimids, self.norm_factor, agg_packed,
             jnp.asarray(w.astype(np.int32)),
             jnp.asarray(pos.astype(np.int32)),
             jnp.where(jnp.asarray(valid_np), imid, -1).astype(jnp.int32),
-        )
-        self.norm_factor = self.norm_factor.at[imid].set(
-            float(valid_np.sum())
+            imid, float(valid_np.sum()),
         )
         counts = np.bincount(w[valid_np], minlength=self.num_words + 1)
         self.fill += counts
@@ -296,11 +294,12 @@ class DeviceIVF:
 
 
 @jax.jit
-def _ivf_write(bvecs, bimids, packed, w, pos, imids):
-    """One dispatch for an add's bucket writes."""
+def _ivf_write(bvecs, bimids, norm_factor, packed, w, pos, imids, imid, nval):
+    """One dispatch for ALL of an add's store writes (buckets + norm)."""
     return (
         bvecs.at[w, pos].set(packed),
         bimids.at[w, pos].set(imids),
+        norm_factor.at[imid].set(nval),
     )
 
 
