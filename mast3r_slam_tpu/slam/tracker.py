@@ -306,6 +306,20 @@ class FrameTracker:
         if self.compute_device is not None:
             self.idx_f2k = jax.device_put(self.idx_f2k, self.compute_device)
 
+    def _kf_tokens(self, kf_idx: int):
+        """(feat_k, pos_k) of the keyframe, cached on the host: a slot's
+        tokens never mutate (only a pop+append reuses a slot, which bumps
+        the store generation) — saves one slice dispatch on every frame
+        that tracks against the same keyframe."""
+        kf = self.keyframes
+        key = (kf_idx, kf.generation)
+        cached = getattr(self, "_tok_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        sl = kf.feat_slices(kf_idx)
+        self._tok_cache = (key, sl)
+        return sl
+
     def infer(self, frame: Frame):
         """Issue the asymmetric two-view inference for `frame` against the
         CURRENT last keyframe (async dispatch on the model device).
@@ -317,9 +331,9 @@ class FrameTracker:
         kf = self.keyframes
         kf_idx = kf.last_idx()
         # feat/pos of an existing slot never mutate, so reusing them at
-        # track time is exact (one feat-side slice dispatch; the pointmap
-        # side is sliced INSIDE `_track_compute_stored`)
-        feat_k, pos_k = kf.feat_slices(kf_idx)
+        # track time is exact (host-cached per keyframe; the pointmap side
+        # is sliced INSIDE `_track_compute_stored`)
+        feat_k, pos_k = self._kf_tokens(kf_idx)
         out = self.model.asymmetric(frame.feat, frame.pos, feat_k, pos_k)
         return kf_idx, out
 
@@ -345,7 +359,7 @@ class FrameTracker:
         if inference is not None and inference[0] == kf_idx:
             (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = inference[1]
         else:
-            feat_k, pos_k = kf.feat_slices(kf_idx)
+            feat_k, pos_k = self._kf_tokens(kf_idx)
             (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = self.model.asymmetric(
                 frame.feat, frame.pos, feat_k, pos_k
             )
