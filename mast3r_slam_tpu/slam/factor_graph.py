@@ -349,7 +349,7 @@ class FactorGraph:
         # fixed in r4 — see lie/sim3.exp and GlobalGNSettings.)
         window = self.window_size
         if window and (n_kf - self.settings.pin) > window:
-            self._solve_windowed(mode, snap, E, n_kf, window)
+            self._solve_windowed(mode, snap, E, n_kf, window, ver)
             return
         # bucket floors trade a little padded compute early in a session for
         # far fewer (Epad, Ppad) jit signatures — each distinct pair is a
@@ -420,9 +420,9 @@ class FactorGraph:
     # ------------------------------------------------------------------
 
     def _cache_usable(self, half: int) -> bool:
-        """Cache applies to the single-device full-graph solve (the mesh
-        path shards raw edge fields; the windowed path re-gathers its
-        subset) and is bounded by gather_cache_max_edges."""
+        """Cache applies to single-device solves (full-graph AND windowed —
+        the cached rows are window-independent; the mesh path shards raw
+        edge fields) and is bounded by gather_cache_max_edges."""
         return (
             self._gcache_on and self.mesh is None and half <= self._gcache_max
         )
@@ -451,14 +451,21 @@ class FactorGraph:
             )
         self._gcache_cap = cap
 
-    def _refresh_gcache(self, E: int, half: int, ver, snap, mode: str):
-        """Re-gather rows of edges whose source keyframes changed."""
+    def _refresh_gcache(self, E: int, half: int, ver, snap, mode: str,
+                        among=None):
+        """Re-gather rows of edges whose source keyframes changed.
+
+        `among`: optional boolean mask over edges 0..E — restrict the
+        refresh to that subset (the windowed solve only needs its kept
+        edges fresh; dropped old-old edges stay stale until reused)."""
         self._ensure_gcache(half)
         ii_e = self.ii[:E]
         jj_e = self.jj[:E]
         stale = (self._stamp_f[:E] != ver[ii_e]) | (
             self._stamp_b[:E] != ver[jj_e]
         )
+        if among is not None:
+            stale = stale & among
         sidx = np.nonzero(stale)[0].astype(np.int32)
         if sidx.size == 0:
             return
@@ -513,7 +520,7 @@ class FactorGraph:
         )
 
     def _solve_windowed(self, mode: str, snap, E: int, n_kf: int,
-                        window: int):
+                        window: int, ver):
         """Windowed solve: optimise only the last `window` keyframes.
 
         Poses older than the window are FIXED; edges with at least one
@@ -586,15 +593,43 @@ class FactorGraph:
         )
 
         sel_j = jnp.asarray(sel)
-        Twc = snap.T_WC[sel_j]
-        Xs = snap.X[sel_j]
-        Cs = snap.C[sel_j] / jnp.maximum(
-            snap.n_fused[sel_j][:, None, None].astype(jnp.float32), 1.0
-        )
         settings = self.settings._replace(pin=pinpad)
-        Twc_new, iters, ok = self._dispatch_solve(
-            Twc, Xs, Cs, ii2, jj2, idx, valid, Q, settings, mode
-        )
+        cache_cap = _bucket(E, 4)
+        if self._cache_usable(cache_cap):
+            # cached rows are window-independent (per-edge gathers of the
+            # ORIGINAL keyframes); only the pose-index remap differs.
+            # Refresh just the kept edges, then slice their rows compactly.
+            # (`ver` was read BEFORE the snapshot by solve() — conservative.)
+            among = np.zeros((E,), bool)
+            among[kept] = True
+            self._refresh_gcache(E, cache_cap, ver, snap, mode, among=among)
+            kidx_j = jnp.asarray(kidx)
+            Twc_new, iters, ok = gauss_newton_poses_cached(
+                snap.T_WC[sel_j],
+                snap.X[sel_j],
+                snap.C[sel_j],
+                snap.n_fused[sel_j],
+                jnp.asarray(ii2),
+                jnp.asarray(jj2),
+                self._gf[kidx_j],
+                self._gb[kidx_j],
+                idx,
+                valid,
+                Q,
+                self.K,
+                self.img_hw,
+                settings,
+                mode,
+            )
+        else:
+            Twc = snap.T_WC[sel_j]
+            Xs = snap.X[sel_j]
+            Cs = snap.C[sel_j] / jnp.maximum(
+                snap.n_fused[sel_j][:, None, None].astype(jnp.float32), 1.0
+            )
+            Twc_new, iters, ok = self._dispatch_solve(
+                Twc, Xs, Cs, ii2, jj2, idx, valid, Q, settings, mode
+            )
         self.keyframes.write_back_poses(
             s0, n_kf, snap.generation, Twc_new, src_offset=pinpad
         )

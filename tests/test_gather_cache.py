@@ -131,3 +131,39 @@ def test_calib_mode_cached_parity():
     np.testing.assert_array_equal(
         np.asarray(kfc.T_WC[:M]), np.asarray(kfu.T_WC[:M])
     )
+
+
+def test_windowed_cached_matches_windowed_uncached():
+    """The windowed solve's cached branch (compact row slices of the
+    window-independent cache) must equal the uncached windowed solve —
+    including after a fusion update between two windowed solves."""
+    from test_windowing import _build_graph as _bg
+
+    M, N, W = 12, 48, 4
+    gt, noisy, Xs, _ = _make_problem(M, N, perturb_from=M - W, seed=9)
+    edges = [(i, i + 1) for i in range(M - 1)] + [(2, 9)]
+    gc, kfc = _bg(noisy, Xs, W, edges, N)
+    gu, kfu = _bg(noisy, Xs, W, edges, N)
+    gc._gcache_on = True
+    gu._gcache_on = False
+    gc.solve(mode="rays")
+    gu.solve(mode="rays")
+    np.testing.assert_array_equal(
+        np.asarray(kfc.T_WC[:M]), np.asarray(kfu.T_WC[:M])
+    )
+    assert gc._gf is not None  # cached branch ran
+
+    # fuse into an in-window keyframe, solve again: stale rows must refresh
+    rng = np.random.default_rng(1)
+    X_new = Xs[M - 2] + rng.normal(size=Xs[0].shape).astype(np.float32) * 0.05
+    for kf in (kfc, kfu):
+        kf.update_pointmap(
+            M - 2, jnp.asarray(X_new, jnp.float32),
+            jnp.full((N, 1), 5.0, jnp.float32), jnp.int32(2),
+            jnp.int32(2), jnp.float32(1.0),
+        )
+    gc.solve(mode="rays")
+    gu.solve(mode="rays")
+    np.testing.assert_array_equal(
+        np.asarray(kfc.T_WC[:M]), np.asarray(kfu.T_WC[:M])
+    )
