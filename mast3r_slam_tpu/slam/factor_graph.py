@@ -53,6 +53,23 @@ def _store_edges(idx_f, idx_b, vf, vb, qf, qb, start,
     )
 
 
+@jax.jit
+def _store_edges_oneway(idx_f, idx_b, vf, vb, qf, qb, start,
+                        n_if, n_vf, n_qf):
+    """Edge-store write for forward-only factors, one dispatch: the backward
+    half-row is zeroed in-program (idx 0 / valid False / Q 0 — zero-weight in
+    the scatter-assembled solve, finite under the gathered-point cache)."""
+    upd = jax.lax.dynamic_update_slice
+    return (
+        upd(idx_f, n_if, (start, 0)),
+        upd(idx_b, jnp.zeros_like(n_if), (start, 0)),
+        upd(vf, n_vf, (start, 0, 0)),
+        upd(vb, jnp.zeros_like(n_vf), (start, 0, 0)),
+        upd(qf, n_qf, (start, 0, 0)),
+        upd(qb, jnp.zeros_like(n_qf), (start, 0, 0)),
+    )
+
+
 @partial(jax.jit, static_argnames=("img_hw", "mode"))
 def _refresh_gather(gf, gb, Xs, C_raw, K, eii, ejj, idx_f, idx_b, pos,
                     img_hw, mode: str):
@@ -192,6 +209,16 @@ class FactorGraph:
 
         Mirrors global_opt.py:30-102 (including the rule that consecutive
         edges are always kept and reloc requires every edge to pass).
+
+        With ``local_opt.oneway_nonconsec`` set (speed knob, default off =
+        reference-exact), NON-consecutive candidates — retrieval-proposed
+        loop closures — run ONE asymmetric decode + forward-only matching
+        instead of the symmetric both-directions pass, roughly halving the
+        backend's per-candidate device cost (the two dominant ledger rows,
+        BASELINE.md r4: symmetric decode ~87 ms + matching ~130 ms/task).
+        The stored backward half-row is zero-weight in the solve and the
+        edge gate uses the forward match fraction only.  Reloc always uses
+        the strict bidirectional path regardless of the knob.
         """
         B = len(ii)
         if B == 0:
@@ -202,6 +229,31 @@ class FactorGraph:
         ii_arr = np.asarray(ii, dtype=np.int32)
         jj_arr = np.asarray(jj, dtype=np.int32)
 
+        oneway = (
+            bool(self.lcfg.get("oneway_nonconsec", False))
+            and not is_reloc
+            and self.mesh is None
+        )
+        if oneway:
+            consec = ii_arr == (jj_arr - 1)
+            added = False
+            if consec.any():
+                added |= self._add_factors_symmetric(
+                    snap, ii_arr[consec], jj_arr[consec], min_match_frac,
+                    is_reloc=False,
+                )
+            if (~consec).any():
+                added |= self._add_factors_oneway(
+                    snap, ii_arr[~consec], jj_arr[~consec], min_match_frac
+                )
+            return added
+        return self._add_factors_symmetric(
+            snap, ii_arr, jj_arr, min_match_frac, is_reloc
+        )
+
+    def _add_factors_symmetric(self, snap, ii_arr, jj_arr,
+                               min_match_frac: float, is_reloc: bool) -> bool:
+        B = len(ii_arr)
         if self.mesh is not None:
             # shard the symmetric-decode batch over the mesh's edge axis:
             # pad B to a pow2 multiple of the mesh size (pad pairs reuse
@@ -259,6 +311,42 @@ class FactorGraph:
         )
         self.n_edges += n_new
         # new edges have no cached gather rows yet
+        self._stamp_f[sl] = -1
+        self._stamp_b[sl] = -1
+        return True
+
+    def _add_factors_oneway(self, snap, ii_arr, jj_arr,
+                            min_match_frac: float) -> bool:
+        """Forward-only factors for non-consecutive (loop-closure)
+        candidates: one asymmetric decode + one matching per pair (see
+        :meth:`add_factors`)."""
+        res = self.model.asymmetric(
+            snap.feat[ii_arr], snap.pos[ii_arr],
+            snap.feat[jj_arr], snap.pos[jj_arr],
+        )
+        out = _add_factors_forward(
+            self.img_hw, res, float(self.lcfg["Q_conf"]), self._match_kwargs()
+        )
+        keep = np.asarray(out["match_frac_j"]) >= min_match_frac
+        n_new = int(keep.sum())
+        if n_new == 0:
+            return False
+        self._ensure_capacity(self.n_edges + n_new)
+        sl = slice(self.n_edges, self.n_edges + n_new)
+        kidx = np.nonzero(keep)[0]
+        self.ii[sl] = ii_arr[kidx]
+        self.jj[sl] = jj_arr[kidx]
+        kidx_j = jnp.asarray(kidx)
+        (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+         self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = _store_edges_oneway(
+            self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+            self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
+            self.n_edges,
+            self._dev(out["idx_i2j"][kidx_j]),
+            self._dev(out["valid_j"][kidx_j]),
+            self._dev(out["Qj"][kidx_j]),
+        )
+        self.n_edges += n_new
         self._stamp_f[sl] = -1
         self._stamp_b[sl] = -1
         return True
@@ -679,6 +767,53 @@ def _add_factors_compute(img_hw, res, Q_conf, mk: MatchKwargs):
             k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]
         }
     return _add_factors_pair(img_hw, res, Q_conf, mk)
+
+
+@partial(jax.jit, static_argnames=("img_hw", "mk"))
+def _add_factors_forward(img_hw, res, Q_conf, mk: MatchKwargs):
+    """Forward-only (i -> j) matching + Q aggregation for B candidate pairs
+    in ONE dispatch (the `local_opt.oneway_nonconsec` path).
+
+    Exactly the forward half of `_add_factors_compute`: same matcher, same
+    Qj = sqrt(Qii[idx] * Qji) aggregation (global_opt.py:55-57), same
+    unrolled-per-pair schedule (batched matching degrades past batch 2 —
+    scripts/microbench_backend_match.py)."""
+    B = res[0][0].shape[0]
+    if B > 1:
+        def pair(b):
+            sl = tuple(
+                tuple(x[b : b + 1] for x in quad) for quad in res
+            )
+            return _forward_pair(img_hw, sl, Q_conf, mk)
+
+        outs = [pair(b) for b in range(B)]
+        return {
+            k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]
+        }
+    return _forward_pair(img_hw, res, Q_conf, mk)
+
+
+def _forward_pair(img_hw, res, Q_conf, mk: MatchKwargs):
+    H, W = img_hw
+    N = H * W
+    res_ii, res_ji = res
+    Xii, _, Dii, Qii = res_ii
+    Xji, _, Dji, Qji = res_ji
+    B = Xii.shape[0]
+
+    idx_i2j, valid_j = matching.match(Xii, Xji, Dii, Dji, **mk)
+
+    Qii_f = Qii.reshape(B, N, 1)
+    Qji_f = Qji.reshape(B, N, 1)
+    Qj = jnp.sqrt(jnp.take_along_axis(Qii_f, idx_i2j[..., None], axis=1) * Qji_f)
+    vj = valid_j & (Qj > Q_conf)
+    match_frac_j = jnp.mean(vj.astype(jnp.float32), axis=(1, 2))
+    return dict(
+        idx_i2j=idx_i2j,
+        valid_j=valid_j,
+        Qj=Qj,
+        match_frac_j=match_frac_j,
+    )
 
 
 def _add_factors_pair(img_hw, res, Q_conf, mk: MatchKwargs):

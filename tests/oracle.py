@@ -158,7 +158,23 @@ class OracleModel:
     # -- interface -----------------------------------------------------
 
     def asymmetric(self, feat_i, pos_i, feat_j, pos_j):
-        return self._pair(self._fid(feat_i), self._fid(feat_j))
+        B = feat_i.shape[0]
+        if B == 1:
+            return self._pair(self._fid(feat_i), self._fid(feat_j))
+        outs_ii, outs_ji = [], []
+        for b in range(B):
+            r_ii, r_ji = self._pair(
+                self._fid(feat_i[b][None]), self._fid(feat_j[b][None])
+            )
+            outs_ii.append(r_ii)
+            outs_ji.append(r_ji)
+
+        def cat(rs):
+            return tuple(
+                jnp.concatenate([r[k] for r in rs], axis=0) for k in range(4)
+            )
+
+        return cat(outs_ii), cat(outs_ji)
 
     def symmetric(self, feat_i, pos_i, feat_j, pos_j):
         B = feat_i.shape[0]

@@ -1,0 +1,129 @@
+"""local_opt.oneway_nonconsec: forward-only loop-closure factors.
+
+The speed knob (factor_graph.add_factors) replaces the symmetric decode +
+bidirectional matching of NON-consecutive candidates (global_opt.py:30-79)
+with one asymmetric decode + forward matching.  These tests pin its
+semantics against the reference-exact path on the ground-truth oracle:
+
+1. the stored forward fields are identical to the symmetric path's forward
+   half (same matcher, same Q aggregation),
+2. the backward half-row is zero-weight (valid False / Q 0),
+3. the graph still solves: a perturbed trajectory is recovered through
+   forward-only loop-closure factors.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mast3r_slam_tpu.config import load_config
+from mast3r_slam_tpu.lie import sim3
+from mast3r_slam_tpu.slam.pipeline import SLAM
+
+from oracle import OracleDataset, OracleModel, PlaneScene, arc_trajectory
+
+N_FRAMES = 30
+HW = (48, 64)
+
+
+@pytest.fixture(scope="module")
+def tracked_scene():
+    scene = PlaneScene(HW)
+    gt = arc_trajectory(N_FRAMES, radius=0.6, max_angle=2.5)
+    model = OracleModel(scene, gt, noise=0.002)
+    cfg = load_config("base")
+    cfg["engine"]["keyframe_buffer"] = 64
+    cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True
+    slam = SLAM(model, cfg, HW)
+    ds = OracleDataset(N_FRAMES, HW)
+    slam.run(ds, verbose=False)
+    assert len(slam.keyframes) >= 4
+    return model, cfg, slam.keyframes
+
+
+def _fresh_graph(model, cfg, keyframes, oneway: bool):
+    from mast3r_slam_tpu.slam.factor_graph import FactorGraph
+
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["local_opt"]["oneway_nonconsec"] = oneway
+    return FactorGraph(model, cfg2, keyframes, HW, edge_capacity=16)
+
+
+def test_forward_fields_match_symmetric_path(tracked_scene):
+    model, cfg, kf = tracked_scene
+    n = len(kf)
+    # one consecutive pair + one overlapping loop-closure candidate (two
+    # keyframes back — far-apart arc keyframes share no pixels), store order
+    ii = [n - 2, n - 3]
+    jj = [n - 1, n - 1]
+    thresh = float(cfg["local_opt"]["min_match_frac"])
+
+    g_ref = _fresh_graph(model, cfg, kf, oneway=False)
+    g_one = _fresh_graph(model, cfg, kf, oneway=True)
+    assert g_ref.add_factors(ii, jj, thresh)
+    assert g_one.add_factors(ii, jj, thresh)
+    assert g_one.n_edges == g_ref.n_edges == 2
+    assert list(g_one.ii[:2]) == ii and list(g_one.jj[:2]) == jj
+
+    # forward halves identical (same matcher + Q aggregation on the same
+    # decode outputs; the oracle is deterministic per pair)
+    np.testing.assert_array_equal(
+        np.asarray(g_one.idx_ii2jj[:2]), np.asarray(g_ref.idx_ii2jj[:2])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g_one.valid_match_j[:2]), np.asarray(g_ref.valid_match_j[:2])
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_one.Q_ii2jj[:2]), np.asarray(g_ref.Q_ii2jj[:2]),
+        rtol=0, atol=0,
+    )
+
+    # consecutive edge (row 0) keeps its bidirectional factor
+    assert np.asarray(g_one.valid_match_i[0]).any()
+    np.testing.assert_array_equal(
+        np.asarray(g_one.idx_jj2ii[0]), np.asarray(g_ref.idx_jj2ii[0])
+    )
+    # loop-closure edge (row 1): backward half-row is zero-weight
+    assert not np.asarray(g_one.valid_match_i[1]).any()
+    assert float(np.abs(np.asarray(g_one.Q_jj2ii[1])).max()) == 0.0
+    assert int(np.abs(np.asarray(g_one.idx_jj2ii[1])).max()) == 0
+
+
+def test_gate_uses_forward_fraction_only(tracked_scene):
+    model, cfg, kf = tracked_scene
+    n = len(kf)
+    g_one = _fresh_graph(model, cfg, kf, oneway=True)
+    # an impossible threshold drops the loop-closure candidate but the
+    # consecutive edge is kept unconditionally (global_opt.py:72-75)
+    assert g_one.add_factors([n - 2, 0], [n - 1, n - 1], min_match_frac=2.0)
+    assert g_one.n_edges == 1
+    assert (g_one.ii[0], g_one.jj[0]) == (n - 2, n - 1)
+
+
+def test_solve_recovers_through_oneway_factors(tracked_scene):
+    model, cfg, kf = tracked_scene
+    n = len(kf)
+    g_one = _fresh_graph(model, cfg, kf, oneway=True)
+    thresh = float(cfg["local_opt"]["min_match_frac"])
+    # chain + a forward-only loop factor spanning the trajectory
+    ii = [k for k in range(n - 1)] + [0]
+    jj = [k + 1 for k in range(n - 1)] + [n - 1]
+    g_one.add_factors(ii, jj, thresh)
+    assert g_one.n_edges >= n - 1
+
+    clean = np.asarray(kf.T_WC[:n]).copy()
+    rng = np.random.default_rng(7)
+    noise = rng.normal(size=(n, 7)).astype(np.float32) * 0.03
+    noise[0] = 0
+    noisy = np.asarray(sim3.retr(jnp.asarray(clean), jnp.asarray(noise)))
+    kf.T_WC = kf.T_WC.at[:n].set(jnp.asarray(noisy))
+    err_before = np.linalg.norm(noisy[:, :3] - clean[:, :3], axis=-1).mean()
+    g_one.solve()
+    after = np.asarray(kf.T_WC[:n])
+    err_after = np.linalg.norm(after[:, :3] - clean[:, :3], axis=-1).mean()
+    kf.T_WC = kf.T_WC.at[:n].set(jnp.asarray(clean))  # restore for other tests
+    assert err_after < 0.3 * err_before, (err_before, err_after)
