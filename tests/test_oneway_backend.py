@@ -104,6 +104,60 @@ def test_gate_uses_forward_fraction_only(tracked_scene):
     assert (g_one.ii[0], g_one.jj[0]) == (n - 2, n - 1)
 
 
+@pytest.mark.slow
+def test_speed_profile_with_retrieval_tracks():
+    """The shipped speed profile (oneway_nonconsec ON) with live retrieval:
+    loop-closure candidates flow through the forward-only path inside the
+    real engine loop and the trajectory stays at the quantization floor."""
+    import jax
+
+    from mast3r_slam_tpu.eval.trajectory import umeyama_alignment
+    from mast3r_slam_tpu.retrieval import RetrievalDatabase
+    from mast3r_slam_tpu.retrieval.asmk import ASMKSettings
+    from mast3r_slam_tpu.retrieval.head import (
+        RetrievalHeadSettings,
+        init_head_params,
+    )
+
+    scene = PlaneScene(HW)
+    gt = arc_trajectory(N_FRAMES, radius=0.6, max_angle=2.5)
+    model = OracleModel(scene, gt, noise=0.002)
+    cfg = load_config("speed")
+    assert cfg["local_opt"]["oneway_nonconsec"] is True
+    cfg["engine"]["keyframe_buffer"] = 64
+    cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True
+
+    params = init_head_params(jax.random.key(0), model.feat_dim, hdims=(8,))
+    centroids = jax.random.normal(jax.random.key(1), (64, 8)) * 0.3
+    retrieval = RetrievalDatabase(
+        params, centroids, RetrievalHeadSettings(nfeat=8),
+        ASMKSettings(capacity=64 * 8, max_images=64),
+    )
+    slam = SLAM(model, cfg, HW, retrieval=retrieval)
+    result = slam.run(OracleDataset(N_FRAMES, HW), verbose=False)
+
+    n_e = slam.graph.n_edges
+    nonconsec = sum(
+        1 for a, b in zip(slam.graph.ii[:n_e], slam.graph.jj[:n_e])
+        if a != b - 1
+    )
+    assert nonconsec >= 1, "retrieval should propose loop-closure candidates"
+    # one-way edges carry no backward weight
+    import numpy as _np
+
+    for e in range(n_e):
+        if slam.graph.ii[e] != slam.graph.jj[e] - 1:
+            assert not _np.asarray(slam.graph.valid_match_i[e]).any()
+
+    est = result.frame_poses[:, :3]
+    gt_t = gt[:, :3]
+    s, R, t = umeyama_alignment(est, gt_t)
+    aligned = (s * (R @ est.T)).T + t
+    ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt_t, axis=-1) ** 2)))
+    assert ate < 0.04, f"speed-profile ATE {ate:.4f}"
+
+
 def test_solve_recovers_through_oneway_factors(tracked_scene):
     model, cfg, kf = tracked_scene
     n = len(kf)
