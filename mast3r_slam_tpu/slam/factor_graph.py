@@ -236,15 +236,27 @@ class FactorGraph:
         )
         if oneway:
             consec = ii_arr == (jj_arr - 1)
-            added = False
+            # issue BOTH groups' device compute before either host readback:
+            # jax dispatch is async, so the second group's decode queues
+            # behind the first instead of behind a tunnel round-trip
+            out_s = out_f = None
             if consec.any():
-                added |= self._add_factors_symmetric(
-                    snap, ii_arr[consec], jj_arr[consec], min_match_frac,
-                    is_reloc=False,
+                out_s = self._compute_symmetric(
+                    snap, ii_arr[consec], jj_arr[consec]
                 )
             if (~consec).any():
-                added |= self._add_factors_oneway(
-                    snap, ii_arr[~consec], jj_arr[~consec], min_match_frac
+                out_f = self._compute_oneway(
+                    snap, ii_arr[~consec], jj_arr[~consec]
+                )
+            added = False
+            if out_s is not None:
+                added |= self._gate_store_symmetric(
+                    out_s, ii_arr[consec], jj_arr[consec], min_match_frac,
+                    is_reloc=False,
+                )
+            if out_f is not None:
+                added |= self._gate_store_oneway(
+                    out_f, ii_arr[~consec], jj_arr[~consec], min_match_frac
                 )
             return added
         return self._add_factors_symmetric(
@@ -253,6 +265,12 @@ class FactorGraph:
 
     def _add_factors_symmetric(self, snap, ii_arr, jj_arr,
                                min_match_frac: float, is_reloc: bool) -> bool:
+        out = self._compute_symmetric(snap, ii_arr, jj_arr)
+        return self._gate_store_symmetric(
+            out, ii_arr, jj_arr, min_match_frac, is_reloc
+        )
+
+    def _compute_symmetric(self, snap, ii_arr, jj_arr):
         B = len(ii_arr)
         if self.mesh is not None:
             # shard the symmetric-decode batch over the mesh's edge axis:
@@ -273,13 +291,16 @@ class FactorGraph:
                 snap.feat[ii_arr], snap.pos[ii_arr],
                 snap.feat[jj_arr], snap.pos[jj_arr]
             )
-        out = _add_factors_compute(
+        return _add_factors_compute(
             self.img_hw,
             res,
             float(self.lcfg["Q_conf"]),
             self._match_kwargs(),
         )
 
+    def _gate_store_symmetric(self, out, ii_arr, jj_arr,
+                              min_match_frac: float, is_reloc: bool) -> bool:
+        B = len(ii_arr)
         match_frac_j = np.asarray(out["match_frac_j"])[:B]
         match_frac_i = np.asarray(out["match_frac_i"])[:B]
         consecutive = ii_arr == (jj_arr - 1)
@@ -315,18 +336,20 @@ class FactorGraph:
         self._stamp_b[sl] = -1
         return True
 
-    def _add_factors_oneway(self, snap, ii_arr, jj_arr,
-                            min_match_frac: float) -> bool:
-        """Forward-only factors for non-consecutive (loop-closure)
+    def _compute_oneway(self, snap, ii_arr, jj_arr):
+        """Forward-only compute for non-consecutive (loop-closure)
         candidates: one asymmetric decode + one matching per pair (see
         :meth:`add_factors`)."""
         res = self.model.asymmetric(
             snap.feat[ii_arr], snap.pos[ii_arr],
             snap.feat[jj_arr], snap.pos[jj_arr],
         )
-        out = _add_factors_forward(
+        return _add_factors_forward(
             self.img_hw, res, float(self.lcfg["Q_conf"]), self._match_kwargs()
         )
+
+    def _gate_store_oneway(self, out, ii_arr, jj_arr,
+                           min_match_frac: float) -> bool:
         keep = np.asarray(out["match_frac_j"]) >= min_match_frac
         n_new = int(keep.sum())
         if n_new == 0:
