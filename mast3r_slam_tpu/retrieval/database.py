@@ -54,6 +54,37 @@ def _query_compute(head_params, feat, centroids, bvecs, bimids, norm_factor,
     return scores, feats, codes
 
 
+@partial(jax.jit, static_argnames=(
+    "hs", "ma_query", "ma_build", "dim", "max_images"))
+def _update_compute(head_params, feat, centroids, bvecs, bimids, norm_factor,
+                    alpha, sim_thresh, hs, ma_query: int, ma_build: int,
+                    dim: int, max_images: int):
+    """The whole query-then-add compute in ONE dispatch.
+
+    `update(add_after_query=True)` is the backend's steady-state call; the
+    split form (``_query_compute`` then ``_add_prep``) costs two dispatches
+    and two blocking readbacks per task — material over the remote tunnel
+    (measured p50 ~340-740 ms wall for ~5 ms of device work).  This fuses
+    the add-side aggregation/binarization into the query program, so the
+    host blocks once and the remaining IVF write is a single async
+    dispatch.  Returns (scores, packed_add, words_add, valid_add)."""
+    feats = extract_topk_features(head_params, feat, hs)[0]
+    m = feats.shape[0]
+    codes = quantize(feats, centroids, ma_query)
+    agg, words, valid = aggregate_residuals(
+        feats, codes, centroids, m * ma_query
+    )
+    packed = binarize_pack(agg)
+    scores = _ivf_search_bucketed(
+        bvecs, bimids, norm_factor, packed, words, valid,
+        dim, alpha, sim_thresh, max_images,
+    )
+    agg_a, words_a, valid_a = aggregate_residuals(
+        feats, codes[:, :ma_build], centroids, m * ma_build
+    )
+    return scores, binarize_pack(agg_a), words_a, valid_a
+
+
 @partial(jax.jit, static_argnames=("hs", "ma_query"))
 def _extract_quantize(head_params, feat, centroids, hs, ma_query: int):
     """First-frame / add-only path (no search): head + quantize, fused."""
@@ -179,10 +210,34 @@ class RetrievalDatabase:
         out of append order, e.g. async reloc); defaults to a running counter.
         Returns ids of the top-k matching database images above thresh.
         """
-        inds, pre = self.query(frame, k, min_thresh)
-        if add_after_query:
-            self.add(frame, precomputed=pre, kf_index=kf_index)
-        return inds
+        if not add_after_query:
+            inds, _ = self.query(frame, k, min_thresh)
+            return inds
+        imid = self.kf_counter if kf_index is None else kf_index
+        if self.kf_counter == 0:
+            self.add(frame, kf_index=kf_index)
+            return []
+        ivf = self.ivf
+        scores, packed_a, words_a, valid_a = _update_compute(
+            self.head_params, frame.feat, self.centroids,
+            ivf.bvecs, ivf.bimids, ivf.norm_factor,
+            np.float32(self.s.alpha),
+            np.float32(self.s.similarity_threshold),
+            self.hs, self.s.ma_query, self.s.ma_build,
+            ivf.dim, ivf.s.max_images,
+        )
+        # one batched host fetch (scores for the candidate decision, word
+        # ids/validity for the insert-position bookkeeping); the IVF write
+        # itself stays an async device dispatch
+        scores_np, words_np, valid_np = jax.device_get(
+            (scores, words_a, valid_a)
+        )
+        scores_np = scores_np[: ivf.n_images]
+        ivf.add(packed_a, words_np, valid_np, imid=imid)
+        self.kf_counter += 1
+        kk = min(k, len(scores_np))
+        top = np.argsort(-scores_np)[:kk]
+        return [int(i) for i in top if scores_np[i] > min_thresh]
 
     def add(self, frame, precomputed=None, kf_index: Optional[int] = None):
         """Aggregate with ma_build(=1) assignments and append to the IVF."""
