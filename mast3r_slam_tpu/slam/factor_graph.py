@@ -248,6 +248,15 @@ class FactorGraph:
                 out_f = self._compute_oneway(
                     snap, ii_arr[~consec], jj_arr[~consec]
                 )
+            if out_s is not None and out_f is not None:
+                # one batched host fetch for both groups' gate inputs
+                # (two separate np.asarray blocks = two tunnel round-trips)
+                fs_j, fs_i, ff_j = jax.device_get((
+                    out_s["match_frac_j"], out_s["match_frac_i"],
+                    out_f["match_frac_j"],
+                ))
+                out_s = dict(out_s, match_frac_j=fs_j, match_frac_i=fs_i)
+                out_f = dict(out_f, match_frac_j=ff_j)
             added = False
             if out_s is not None:
                 added |= self._gate_store_symmetric(
