@@ -204,7 +204,7 @@ class FactorGraph:
     # ------------------------------------------------------------------
 
     def add_factors(self, ii: List[int], jj: List[int], min_match_frac: float,
-                    is_reloc: bool = False) -> bool:
+                    is_reloc: bool = False, captures=None) -> bool:
         """Run symmetric inference+matching for kf pairs, gate, store.
 
         Mirrors global_opt.py:30-102 (including the rule that consecutive
@@ -219,6 +219,15 @@ class FactorGraph:
         The stored backward half-row is zero-weight in the solve and the
         edge gate uses the forward match fraction only.  Reloc always uses
         the strict bidirectional path regardless of the knob.
+
+        With ``local_opt.reuse_tracker_match`` set (speed knob, default
+        off) and a matching entry in `captures` ({(i, j): (idx, valid, Q)}
+        device arrays from the tracker), a CONSECUTIVE pair stores the
+        capture as its backward direction and runs only the forward decode
+        + matching — the tracker already computed the backward match when
+        frame j was created (same matcher, same `matching:` settings,
+        warm-started instead of identity-init; the reference recomputes it,
+        global_opt.py:49).  The edge stays a full bidirectional factor.
         """
         B = len(ii)
         if B == 0:
@@ -229,48 +238,71 @@ class FactorGraph:
         ii_arr = np.asarray(ii, dtype=np.int32)
         jj_arr = np.asarray(jj, dtype=np.int32)
 
-        oneway = (
-            bool(self.lcfg.get("oneway_nonconsec", False))
-            and not is_reloc
-            and self.mesh is None
+        fast = not is_reloc and self.mesh is None
+        oneway = fast and bool(self.lcfg.get("oneway_nonconsec", False))
+        reuse = (
+            fast
+            and bool(self.lcfg.get("reuse_tracker_match", False))
+            and bool(captures)
         )
-        if oneway:
-            consec = ii_arr == (jj_arr - 1)
-            # issue BOTH groups' device compute before either host readback:
-            # jax dispatch is async, so the second group's decode queues
-            # behind the first instead of behind a tunnel round-trip
-            out_s = out_f = None
-            if consec.any():
-                out_s = self._compute_symmetric(
-                    snap, ii_arr[consec], jj_arr[consec]
-                )
-            if (~consec).any():
-                out_f = self._compute_oneway(
-                    snap, ii_arr[~consec], jj_arr[~consec]
-                )
-            if out_s is not None and out_f is not None:
-                # one batched host fetch for both groups' gate inputs
-                # (two separate np.asarray blocks = two tunnel round-trips)
-                fs_j, fs_i, ff_j = jax.device_get((
-                    out_s["match_frac_j"], out_s["match_frac_i"],
-                    out_f["match_frac_j"],
-                ))
-                out_s = dict(out_s, match_frac_j=fs_j, match_frac_i=fs_i)
-                out_f = dict(out_f, match_frac_j=ff_j)
-            added = False
-            if out_s is not None:
-                added |= self._gate_store_symmetric(
-                    out_s, ii_arr[consec], jj_arr[consec], min_match_frac,
-                    is_reloc=False,
-                )
-            if out_f is not None:
-                added |= self._gate_store_oneway(
-                    out_f, ii_arr[~consec], jj_arr[~consec], min_match_frac
-                )
-            return added
-        return self._add_factors_symmetric(
-            snap, ii_arr, jj_arr, min_match_frac, is_reloc
+        if not (oneway or reuse):
+            return self._add_factors_symmetric(
+                snap, ii_arr, jj_arr, min_match_frac, is_reloc
+            )
+
+        consec = ii_arr == (jj_arr - 1)
+        cap_mask = (
+            np.array([
+                bool(c) and (int(a), int(b)) in captures
+                for a, b, c in zip(ii_arr, jj_arr, consec)
+            ])
+            if reuse
+            else np.zeros((B,), bool)
         )
+        one_mask = (~consec) if oneway else np.zeros((B,), bool)
+        sym_mask = ~(cap_mask | one_mask)
+
+        # issue ALL groups' device compute before any host readback:
+        # jax dispatch is async, so later groups queue behind device work
+        # instead of a tunnel round-trip
+        out_s = out_r = out_f = None
+        if sym_mask.any():
+            out_s = self._compute_symmetric(
+                snap, ii_arr[sym_mask], jj_arr[sym_mask]
+            )
+        if cap_mask.any():
+            out_r = self._compute_oneway(
+                snap, ii_arr[cap_mask], jj_arr[cap_mask]
+            )
+        if one_mask.any():
+            out_f = self._compute_oneway(
+                snap, ii_arr[one_mask], jj_arr[one_mask]
+            )
+        if out_s is not None and out_f is not None:
+            # one batched host fetch for both gated groups' inputs (two
+            # separate np.asarray blocks = two tunnel round-trips; the
+            # reuse group is consecutive = kept unconditionally, no fetch)
+            fs_j, fs_i, ff_j = jax.device_get((
+                out_s["match_frac_j"], out_s["match_frac_i"],
+                out_f["match_frac_j"],
+            ))
+            out_s = dict(out_s, match_frac_j=fs_j, match_frac_i=fs_i)
+            out_f = dict(out_f, match_frac_j=ff_j)
+        added = False
+        if out_s is not None:
+            added |= self._gate_store_symmetric(
+                out_s, ii_arr[sym_mask], jj_arr[sym_mask], min_match_frac,
+                is_reloc=False,
+            )
+        if out_r is not None:
+            added |= self._store_reuse(
+                out_r, ii_arr[cap_mask], jj_arr[cap_mask], captures
+            )
+        if out_f is not None:
+            added |= self._gate_store_oneway(
+                out_f, ii_arr[one_mask], jj_arr[one_mask], min_match_frac
+            )
+        return added
 
     def _add_factors_symmetric(self, snap, ii_arr, jj_arr,
                                min_match_frac: float, is_reloc: bool) -> bool:
@@ -356,6 +388,37 @@ class FactorGraph:
         return _add_factors_forward(
             self.img_hw, res, float(self.lcfg["Q_conf"]), self._match_kwargs()
         )
+
+    def _store_reuse(self, out, ii_arr, jj_arr, captures) -> bool:
+        """Store consecutive edges whose backward direction is the tracker's
+        captured match (see :meth:`add_factors`); forward fields come from
+        the fresh forward-only compute.  Consecutive edges are kept
+        unconditionally (global_opt.py:72-75), so no gate fetch is needed."""
+        n_new = len(ii_arr)
+        self._ensure_capacity(self.n_edges + n_new)
+        sl = slice(self.n_edges, self.n_edges + n_new)
+        self.ii[sl] = ii_arr
+        self.jj[sl] = jj_arr
+        caps = [captures[(int(a), int(b))] for a, b in zip(ii_arr, jj_arr)]
+        idx_b = jnp.stack([c[0] for c in caps])
+        valid_b = jnp.stack([c[1] for c in caps])
+        q_b = jnp.stack([c[2] for c in caps])
+        (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+         self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = _store_edges(
+            self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+            self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
+            self.n_edges,
+            self._dev(out["idx_i2j"]),
+            self._dev(idx_b),
+            self._dev(out["valid_j"]),
+            self._dev(valid_b),
+            self._dev(out["Qj"]),
+            self._dev(q_b),
+        )
+        self.n_edges += n_new
+        self._stamp_f[sl] = -1
+        self._stamp_b[sl] = -1
+        return True
 
     def _gate_store_oneway(self, out, ii_arr, jj_arr,
                            min_match_frac: float) -> bool:

@@ -96,6 +96,9 @@ class SLAM:
             mesh=self.mesh,
         )
         self.retrieval = retrieval  # RetrievalDatabase or None
+        self._reuse_match = bool(
+            cfg["local_opt"].get("reuse_tracker_match", False)
+        )
         self.mode = Mode.INIT
         self.n_reloc = 0
         self.n_reloc_success = 0
@@ -134,12 +137,13 @@ class SLAM:
 
     def _backend_loop(self):
         while True:
-            kf_idx = self._tasks.get()
-            if kf_idx is None:
+            task = self._tasks.get()
+            if task is None:
                 return
+            kf_idx, capture = task
             try:
                 with self.timer.time("backend.update"):
-                    self._backend_update(kf_idx)
+                    self._backend_update(kf_idx, capture)
             except Exception as e:  # pragma: no cover
                 # stderr: stdout may carry a machine-readable stream (the
                 # bench's one-JSON-line contract, serving protocols)
@@ -187,14 +191,14 @@ class SLAM:
             uimg=r["unnormalized_img"],
         )
 
-    def _submit_backend(self, kf_idx: int):
+    def _submit_backend(self, kf_idx: int, capture=None):
         if self._tasks is not None:
-            self._tasks.put(kf_idx)
+            self._tasks.put((kf_idx, capture))
         else:
             with self.timer.time("backend.update"):
-                self._backend_update(kf_idx)
+                self._backend_update(kf_idx, capture)
 
-    def _backend_update(self, kf_idx: int):
+    def _backend_update(self, kf_idx: int, capture=None):
         """One global-optimisation task (run_backend, main.py:96-143).
 
         Holds only ``backend_lock`` (serialization vs reloc) — the keyframe
@@ -202,9 +206,9 @@ class SLAM:
         own brief lock, so TRACKING overlaps the whole task (retrieval +
         symmetric decode + global solve)."""
         with self.backend_lock:
-            self._backend_update_impl(kf_idx)
+            self._backend_update_impl(kf_idx, capture)
 
-    def _backend_update_impl(self, kf_idx: int):
+    def _backend_update_impl(self, kf_idx: int, capture=None):
         cfg = self.cfg
         retrieval_inds: List[int] = []
         if self.retrieval is not None:
@@ -228,6 +232,11 @@ class SLAM:
                 kf_idxs,
                 [kf_idx] * len(kf_idxs),
                 self.cfg["local_opt"]["min_match_frac"],
+                captures=(
+                    {(capture[0], kf_idx): capture[1:]}
+                    if capture is not None and capture[0] == kf_idx - 1
+                    else None
+                ),
             )
         with self.timer.time("backend.solve"):
             self.graph.solve()
@@ -309,7 +318,12 @@ class SLAM:
             return
         if new_kf:
             kf_idx = self.keyframes.append(frame)
-            self._submit_backend(kf_idx)
+            # the tracker's own match products become the consecutive
+            # edge's backward direction (local_opt.reuse_tracker_match)
+            cap = getattr(self.tracker, "last_match_capture", None)
+            self._submit_backend(
+                kf_idx, cap if self._reuse_match else None
+            )
             self._emit_keyframe(kf_idx, frame)
         self._log(timestamp, frame)
 

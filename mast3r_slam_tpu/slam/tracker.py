@@ -239,6 +239,14 @@ def _track_compute(
 
     return dict(
         idx_f2k=idx_f2k,
+        # raw match validity + Q product: exactly the BACKWARD-direction
+        # fields of the factor-graph edge (keyframe -> this frame) once the
+        # frame becomes a keyframe — X11/X21 here are the backend's Xjj/Xij
+        # for that edge, so match() and sqrt(Qii[idx]*Qji) coincide with
+        # _add_factors_pair's idx_j2i/valid_i/Qi (global_opt.py:49-57).
+        # Captured by the engine behind local_opt.reuse_tracker_match.
+        match_valid=valid_match,
+        match_Q=Qk,
         frame_X=frame_X,
         frame_C=frame_C,
         kf_X=kX,
@@ -298,6 +306,9 @@ class FrameTracker:
         self.keyframes = keyframes
         self.img_hw = img_hw
         self.compute_device = compute_device
+        # (tracked-against kf_idx, idx, valid, Q) of the newest keyframe's
+        # own match — see track_finish
+        self.last_match_capture = None
         self.reset_idx_f2k()
 
     def reset_idx_f2k(self):
@@ -429,6 +440,14 @@ class FrameTracker:
 
         new_kf = min(match_frac_k, unique_frac_f) < self.ts.match_frac_thresh
         if new_kf:
+            # capture this frame's match products: once the frame is appended
+            # as keyframe k, they ARE the backward direction of the
+            # consecutive factor-graph edge (k-1, k) — see _track_compute's
+            # return docstring.  The engine hands them to
+            # FactorGraph.add_factors behind local_opt.reuse_tracker_match.
+            self.last_match_capture = (
+                kf_idx, out["idx_f2k"], out["match_valid"], out["match_Q"]
+            )
             self.reset_idx_f2k()
         return new_kf, False
 

@@ -87,17 +87,44 @@ def main():
         o2 = _add_factors_forward((H, W), res_f, -1.0, mk)["idx_i2j"]
         return o1, o2
 
+    def task_reuse():
+        # local_opt.reuse_tracker_match + oneway_nonconsec together, in the
+        # ENGINE's grouping (factor_graph.add_factors): the consecutive
+        # edge's backward direction is the tracker's capture (free), so its
+        # group is one forward decode + matching at B=1; candidates keep
+        # their own forward-only program at B=3
+        res_c = model.asymmetric(
+            feat_i[:N_CONSEC], pos[:N_CONSEC], feat_j[:N_CONSEC], pos[:N_CONSEC]
+        )
+        o1 = _add_factors_forward((H, W), res_c, -1.0, mk)["idx_i2j"]
+        res_f = model.asymmetric(
+            feat_i[N_CONSEC:], pos[N_CONSEC:], feat_j[N_CONSEC:], pos[N_CONSEC:]
+        )
+        o2 = _add_factors_forward((H, W), res_f, -1.0, mk)["idx_i2j"]
+        return o1, o2
+
+    def task_reuse_merged():
+        # one merged B=4 forward program — measured SLOWER than the split
+        # grouping above (logs/tpu_r4_oneway2.log: 218-268 ms vs ~160), so
+        # the engine keeps per-group programs
+        res = model.asymmetric(feat_i, pos, feat_j, pos)
+        return _add_factors_forward((H, W), res, -1.0, mk)["idx_i2j"]
+
     def fence(o):
         np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[:1]
 
-    # warm both programs
-    fence(task_symmetric())
-    fence(task_oneway())
+    variants = (
+        ("sym", task_symmetric),
+        ("oneway", task_oneway),
+        ("reuse", task_reuse),
+    )
+    for _, fn in variants:
+        fence(fn())  # warm
 
     rounds = 5
     for r in range(rounds):
         out = {}
-        for name, fn in (("sym", task_symmetric), ("oneway", task_oneway)):
+        for name, fn in variants:
             t0 = time.time()
             for _ in range(3):
                 o = fn()
@@ -106,7 +133,9 @@ def main():
         print(
             f"round {r}: sym {out['sym']*1e3:7.1f} ms/task   "
             f"oneway {out['oneway']*1e3:7.1f} ms/task   "
-            f"ratio {out['oneway']/out['sym']:.2f}",
+            f"reuse {out['reuse']*1e3:7.1f} ms/task   "
+            f"ratios {out['oneway']/out['sym']:.2f}/"
+            f"{out['reuse']/out['sym']:.2f}",
             flush=True,
         )
 

@@ -49,10 +49,10 @@ def test_tracking_advances_while_backend_blocked():
     orig = slam._backend_update_impl
     tracked_during_backend = []
 
-    def gated(kf_idx):
+    def gated(kf_idx, capture=None):
         started.set()
         assert release.wait(timeout=60), "test deadlock: release never set"
-        orig(kf_idx)
+        orig(kf_idx, capture)
         finished.set()
 
     slam._backend_update_impl = gated
@@ -144,11 +144,11 @@ def test_async_latency_jitter_stat_recorded():
 
     backend_busy = threading.Event()
 
-    def slow(kf_idx):
+    def slow(kf_idx, capture=None):
         backend_busy.set()
         try:
             time.sleep(0.05)
-            orig(kf_idx)
+            orig(kf_idx, capture)
         finally:
             backend_busy.clear()
 

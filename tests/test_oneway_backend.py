@@ -43,13 +43,14 @@ def tracked_scene():
     return model, cfg, slam.keyframes
 
 
-def _fresh_graph(model, cfg, keyframes, oneway: bool):
+def _fresh_graph(model, cfg, keyframes, oneway: bool, reuse: bool = False):
     from mast3r_slam_tpu.slam.factor_graph import FactorGraph
 
     import copy
 
     cfg2 = copy.deepcopy(cfg)
     cfg2["local_opt"]["oneway_nonconsec"] = oneway
+    cfg2["local_opt"]["reuse_tracker_match"] = reuse
     return FactorGraph(model, cfg2, keyframes, HW, edge_capacity=16)
 
 
@@ -102,6 +103,103 @@ def test_gate_uses_forward_fraction_only(tracked_scene):
     assert g_one.add_factors([n - 2, 0], [n - 1, n - 1], min_match_frac=2.0)
     assert g_one.n_edges == 1
     assert (g_one.ii[0], g_one.jj[0]) == (n - 2, n - 1)
+
+
+def test_reuse_capture_stored_as_backward(tracked_scene):
+    """local_opt.reuse_tracker_match: the consecutive edge stores the
+    tracker's captured match verbatim as its backward direction, with the
+    forward half identical to the symmetric path's forward half."""
+    model, cfg, kf = tracked_scene
+    n = len(kf)
+    N = HW[0] * HW[1]
+    rng = np.random.default_rng(11)
+    cap_idx = jnp.asarray(rng.integers(0, N, size=(N,)).astype(np.int32))
+    cap_valid = jnp.asarray(rng.random((N, 1)) > 0.4)
+    cap_q = jnp.asarray(rng.random((N, 1)).astype(np.float32) * 3.0)
+
+    g_ref = _fresh_graph(model, cfg, kf, oneway=False)
+    g_ru = _fresh_graph(model, cfg, kf, oneway=False, reuse=True)
+    thresh = float(cfg["local_opt"]["min_match_frac"])
+    pair = (n - 2, n - 1)
+    assert g_ref.add_factors([pair[0]], [pair[1]], thresh)
+    assert g_ru.add_factors(
+        [pair[0]], [pair[1]], thresh,
+        captures={pair: (cap_idx, cap_valid, cap_q)},
+    )
+    assert g_ru.n_edges == 1
+
+    # backward = the capture, verbatim
+    np.testing.assert_array_equal(np.asarray(g_ru.idx_jj2ii[0]),
+                                  np.asarray(cap_idx))
+    np.testing.assert_array_equal(np.asarray(g_ru.valid_match_i[0]),
+                                  np.asarray(cap_valid))
+    np.testing.assert_array_equal(np.asarray(g_ru.Q_jj2ii[0]),
+                                  np.asarray(cap_q))
+    # forward = the symmetric path's forward half
+    np.testing.assert_array_equal(np.asarray(g_ru.idx_ii2jj[0]),
+                                  np.asarray(g_ref.idx_ii2jj[0]))
+    np.testing.assert_array_equal(np.asarray(g_ru.valid_match_j[0]),
+                                  np.asarray(g_ref.valid_match_j[0]))
+    np.testing.assert_array_equal(np.asarray(g_ru.Q_ii2jj[0]),
+                                  np.asarray(g_ref.Q_ii2jj[0]))
+
+    # without a matching capture the pair falls back to the symmetric path
+    g_fb = _fresh_graph(model, cfg, kf, oneway=False, reuse=True)
+    assert g_fb.add_factors(
+        [pair[0]], [pair[1]], thresh,
+        captures={(0, 1): (cap_idx, cap_valid, cap_q)},
+    )
+    np.testing.assert_array_equal(np.asarray(g_fb.idx_jj2ii[0]),
+                                  np.asarray(g_ref.idx_jj2ii[0]))
+
+
+@pytest.mark.slow
+def test_engine_reuse_match_tracks():
+    """Engine e2e with reuse_tracker_match (and oneway) on: consecutive
+    edges carry a tracker-captured backward direction and the trajectory
+    stays at the quantization floor."""
+    import jax
+
+    from mast3r_slam_tpu.eval.trajectory import umeyama_alignment
+    from mast3r_slam_tpu.retrieval import RetrievalDatabase
+    from mast3r_slam_tpu.retrieval.asmk import ASMKSettings
+    from mast3r_slam_tpu.retrieval.head import (
+        RetrievalHeadSettings,
+        init_head_params,
+    )
+
+    scene = PlaneScene(HW)
+    gt = arc_trajectory(N_FRAMES, radius=0.6, max_angle=2.5)
+    model = OracleModel(scene, gt, noise=0.002)
+    cfg = load_config("speed")
+    cfg["local_opt"]["reuse_tracker_match"] = True
+    cfg["engine"]["keyframe_buffer"] = 64
+    cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True
+
+    params = init_head_params(jax.random.key(0), model.feat_dim, hdims=(8,))
+    centroids = jax.random.normal(jax.random.key(1), (64, 8)) * 0.3
+    retrieval = RetrievalDatabase(
+        params, centroids, RetrievalHeadSettings(nfeat=8),
+        ASMKSettings(capacity=64 * 8, max_images=64),
+    )
+    slam = SLAM(model, cfg, HW, retrieval=retrieval)
+    result = slam.run(OracleDataset(N_FRAMES, HW), verbose=False)
+
+    n_e = slam.graph.n_edges
+    consec_with_backward = sum(
+        1 for e in range(n_e)
+        if slam.graph.ii[e] == slam.graph.jj[e] - 1
+        and np.asarray(slam.graph.valid_match_i[e]).any()
+    )
+    assert consec_with_backward >= 2, "captures should reach the graph"
+
+    est = result.frame_poses[:, :3]
+    gt_t = gt[:, :3]
+    s, R, t = umeyama_alignment(est, gt_t)
+    aligned = (s * (R @ est.T)).T + t
+    ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt_t, axis=-1) ** 2)))
+    assert ate < 0.04, f"reuse-profile ATE {ate:.4f}"
 
 
 @pytest.mark.slow
