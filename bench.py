@@ -233,13 +233,16 @@ def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72):
                 # data-dependent GN while_loops exit early on zero-weight
                 # synthetic residuals, in BOTH the hot-path and system
                 # numbers — everything else is live compute.
-                stats = np.asarray(out["stats"])
+                # Reuse orig_finish's single readback (tracker.last_stats) —
+                # a second np.asarray(stats) would add a tunnel RTT/frame.
+                stats = slam.tracker.last_stats
                 frame.X_canon = out["frame_X"]
                 frame.C = out["frame_C"]
                 frame.n_fused = int(stats[4])
                 frame.n_updates = int(stats[5])
                 frame.score = float(stats[6])
                 frame.T_WC = out["T_WCf"]
+                frame.T_WC_np = stats[8:16]
                 slam.keyframes.update_pointmap(
                     kf_idx, out["kf_X"], out["kf_C"], out["kf_n_fused"],
                     out["kf_n_updates"], out["kf_score"],
@@ -290,23 +293,24 @@ def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72):
         def __getitem__(self, i):
             return self.timestamps[i], None
 
+        def preprocessed(self, i):  # SLAM.run hook: skip host preprocess
+            return self.pres[i % 4]
+
     ds = NoiseDataset()
 
-    # drive process_frame directly with pre-generated frames (run()'s
-    # prefetch thread covers host preprocess in production); a FRESH engine
-    # per pass (jit caches are global, so the second pass pays no compiles)
+    # drive the engine through SLAM.run so the measured loop is the
+    # production one (speed.yaml engine.pipeline: 1 — single-chip
+    # host-pipelined, ONE blocking readback per tracked frame); a FRESH
+    # engine per pass (jit caches are global, so replays pay no compiles)
     def run_once(count):
         slam = make_engine()
-        last_T = None
         t0 = time.time()
-        for i in range(count):
-            frame = slam.process_frame(
-                i, ds.timestamps[i], last_T_WC=last_T, pre=ds.pres[i % 4]
-            )
-            last_T = frame.T_WC
-        slam.join_backend()
-        np.asarray(slam.keyframes.T_WC[0])  # fence
-        return time.time() - t0, slam
+        slam.run(ds, max_frames=count, verbose=False)
+        # block_until_ready inside run() does not block over the TPU
+        # tunnel (CLAUDE.md) — fence with a tiny readback
+        np.asarray(slam.keyframes.T_WC[0])
+        wall = time.time() - t0
+        return wall, slam
 
     # full-length warmup pass: the edge/pose-bucket sizes grow with the
     # keyframe count, so only an identical replay pre-compiles every program

@@ -84,7 +84,11 @@ class EventBroadcaster:
 
     def start(self):
         self._thread.start()
-        self._ready.wait(timeout=10)
+        # generous: a loaded box can starve the server thread for a while;
+        # fail LOUDLY if it never comes up (bound_port None would otherwise
+        # surface as a confusing downstream connect error)
+        if not self._ready.wait(timeout=60):
+            raise RuntimeError("EventBroadcaster failed to start within 60s")
         return self
 
     def stop(self):

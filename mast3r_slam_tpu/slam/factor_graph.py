@@ -204,11 +204,19 @@ class FactorGraph:
     # ------------------------------------------------------------------
 
     def add_factors(self, ii: List[int], jj: List[int], min_match_frac: float,
-                    is_reloc: bool = False, captures=None) -> bool:
+                    is_reloc: bool = False, strict: bool = None,
+                    captures=None) -> bool:
         """Run symmetric inference+matching for kf pairs, gate, store.
 
         Mirrors global_opt.py:30-102 (including the rule that consecutive
         edges are always kept and reloc requires every edge to pass).
+
+        ``is_reloc`` marks a RELOCALIZATION call: it always takes the
+        bidirectional symmetric path regardless of the speed knobs below
+        (the documented invariant in base.yaml — ADVICE r4).  ``strict``
+        is the separate all-or-nothing acceptance rule (the reference's
+        own ``is_reloc`` argument, global_opt.py:76-77), controlled by
+        ``reloc.strict``; it defaults to ``is_reloc``.
 
         With ``local_opt.oneway_nonconsec`` set (speed knob, default off =
         reference-exact), NON-consecutive candidates — retrieval-proposed
@@ -232,6 +240,8 @@ class FactorGraph:
         B = len(ii)
         if B == 0:
             return False
+        if strict is None:
+            strict = is_reloc
         # snapshot: the symmetric decode + matching below is the backend's
         # single most expensive stretch — it must not hold any lock
         snap = self.keyframes.snapshot()
@@ -247,7 +257,7 @@ class FactorGraph:
         )
         if not (oneway or reuse):
             return self._add_factors_symmetric(
-                snap, ii_arr, jj_arr, min_match_frac, is_reloc
+                snap, ii_arr, jj_arr, min_match_frac, strict
             )
 
         consec = ii_arr == (jj_arr - 1)
@@ -292,7 +302,7 @@ class FactorGraph:
         if out_s is not None:
             added |= self._gate_store_symmetric(
                 out_s, ii_arr[sym_mask], jj_arr[sym_mask], min_match_frac,
-                is_reloc=False,
+                strict=False,
             )
         if out_r is not None:
             added |= self._store_reuse(
@@ -305,10 +315,10 @@ class FactorGraph:
         return added
 
     def _add_factors_symmetric(self, snap, ii_arr, jj_arr,
-                               min_match_frac: float, is_reloc: bool) -> bool:
+                               min_match_frac: float, strict: bool) -> bool:
         out = self._compute_symmetric(snap, ii_arr, jj_arr)
         return self._gate_store_symmetric(
-            out, ii_arr, jj_arr, min_match_frac, is_reloc
+            out, ii_arr, jj_arr, min_match_frac, strict
         )
 
     def _compute_symmetric(self, snap, ii_arr, jj_arr):
@@ -340,14 +350,14 @@ class FactorGraph:
         )
 
     def _gate_store_symmetric(self, out, ii_arr, jj_arr,
-                              min_match_frac: float, is_reloc: bool) -> bool:
+                              min_match_frac: float, strict: bool) -> bool:
         B = len(ii_arr)
         match_frac_j = np.asarray(out["match_frac_j"])[:B]
         match_frac_i = np.asarray(out["match_frac_i"])[:B]
         consecutive = ii_arr == (jj_arr - 1)
         invalid = np.minimum(match_frac_j, match_frac_i) < min_match_frac
         invalid = (~consecutive) & invalid
-        if is_reloc and invalid.any():
+        if strict and invalid.any():
             return False
         keep = ~invalid
         n_new = int(keep.sum())

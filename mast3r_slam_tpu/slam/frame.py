@@ -160,6 +160,10 @@ class Frame:
     K: Optional[jnp.ndarray] = None
     score: float = -np.inf
     uimg: Optional[np.ndarray] = None      # (H, W, 3) for viz/export
+    # host copy of T_WC, populated by the tracker's single stats readback
+    # (stats[8:16]) — lets the engine log the pose without a second blocking
+    # device fetch per frame (VERDICT r4 item 1)
+    T_WC_np: Optional[np.ndarray] = None
 
     def update_pointmap(self, X_new, C_new, mode="weighted_pointmap",
                         score_mode="median"):

@@ -52,19 +52,28 @@ class SLAM:
         self.img_hw = img_hw
         N = img_hw[0] * img_hw[1]
         cap = keyframe_buffer or cfg["engine"]["keyframe_buffer"]
-        # engine.pipeline: 2 = pipeline-parallel frontend over two chips
-        # (VERDICT r2 item 3): encode+decode on chip 0, `_track_compute` on
-        # chip 1, with the next frame's decode issued speculatively against
-        # the current keyframe before this frame's keyframe decision lands
-        # (re-decoded on a switch).  Trajectories are IDENTICAL to
-        # single-chip mode — the speculation is corrected exactly.
+        # engine.pipeline — host-pipelined frontend loop (VERDICT r4 item 1):
+        #   1 = SINGLE-chip host pipelining: the next frame's encode +
+        #       speculative decode are issued before blocking on this frame's
+        #       decision stats, so the one per-frame device->host readback
+        #       overlaps queued device work instead of serializing ~5-7
+        #       tunnel round-trips per frame.  Pure dispatch re-ordering —
+        #       trajectories are IDENTICAL to the sequential loop.
+        #   2 = the same loop with `_track_compute` placed on a SECOND chip
+        #       (encode+decode on chip 0, tracking compute on chip 1); falls
+        #       back to 1 when only one device is visible — the speculation
+        #       machinery is a host-side latency optimisation and never
+        #       needed the second chip (VERDICT r4 weak item 2).
+        # Speculative decodes are re-issued on a keyframe switch, so the
+        # math is exactly the sequential loop's in every mode.
         self.pipeline = int(cfg["engine"].get("pipeline", 0) or 0)
         track_device = None
         if self.pipeline >= 2:
             devs = jax.devices()
             if len(devs) < 2:
-                print("engine.pipeline: fewer than 2 devices; running single-chip")
-                self.pipeline = 0
+                print("engine.pipeline: fewer than 2 devices; "
+                      "running single-chip host-pipelined (pipeline: 1)")
+                self.pipeline = 1
             else:
                 track_device = devs[1]
         self.keyframes = Keyframes(
@@ -268,11 +277,15 @@ class SLAM:
         # edge direction matches the reference (main.py:47-52): the NEW
         # keyframe is ii, retrieved keyframes are jj, so the "always keep
         # consecutive" rule never applies to reloc edges
+        # is_reloc=True pins the strict bidirectional decode/match path for
+        # reloc edges regardless of speed knobs; reloc.strict only controls
+        # the all-or-nothing acceptance rule (ADVICE r4 medium)
         ok = self.graph.add_factors(
             [kf_idx] * n,
             list(inds),
             cfg["reloc"]["min_match_frac"],
-            is_reloc=cfg["reloc"]["strict"],
+            is_reloc=True,
+            strict=cfg["reloc"]["strict"],
         )
         if ok:
             # store under the new keyframe index, reusing the query's
@@ -282,6 +295,7 @@ class SLAM:
             # snap to the best retrieved keyframe's pose (main.py:61)
             self.keyframes.update_pose(kf_idx, self.keyframes.T_WC[inds[0]])
             frame.T_WC = self.keyframes.T_WC[inds[0]]
+            frame.T_WC_np = None  # host copy stale after the snap
             self.graph.solve()
             self._emit_keyframe(kf_idx, frame)
             return True
@@ -328,7 +342,11 @@ class SLAM:
         self._log(timestamp, frame)
 
     def _log(self, timestamp, frame):
-        T = np.asarray(frame.T_WC)
+        # the tracker's single stats readback already carried the pose
+        # (stats[8:16]); only non-tracked frames (INIT/RELOC) pay a fetch
+        T = frame.T_WC_np
+        if T is None:
+            T = np.asarray(frame.T_WC)
         self.frame_log.append((timestamp, T))
         self._emit(lambda: {
             "type": "pose_update",
@@ -411,16 +429,21 @@ class SLAM:
         # device compute (the Lanczos resize is several ms of host work)
         fetch_q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
 
+        # datasets may supply already-preprocessed frames (bench harness,
+        # replay captures) via a `preprocessed(i)` hook
+        get_pre = getattr(dataset, "preprocessed", None)
+
         def fetch():
             for i in range(n):
                 timestamp, img = dataset[i]
-                fetch_q.put((i, timestamp, self.preprocess(img)))
+                pre = get_pre(i) if get_pre is not None else self.preprocess(img)
+                fetch_q.put((i, timestamp, pre))
             fetch_q.put(None)
 
         fetcher = threading.Thread(target=fetch, daemon=True)
         fetcher.start()
         item = True  # last item seen; None once the fetcher is exhausted
-        if self.pipeline >= 2:
+        if self.pipeline >= 1:
             item = self._loop_pipelined(fetch_q, n, t0, verbose)
         else:
             while True:
@@ -436,7 +459,11 @@ class SLAM:
                 # is the observable proof that async mode overlaps (VERDICT r2)
                 with self.timer.time("frame.latency"):
                     frame = self.process_frame(i, timestamp, last_T_WC=last_T, pre=pre)
-                    np.asarray(frame.T_WC)  # fence: include device completion
+                    if frame.T_WC_np is None:
+                        # INIT/RELOC frames: fence so frame.latency includes
+                        # device completion.  Tracked frames already fenced
+                        # through the single stats readback (pose included).
+                        np.asarray(frame.T_WC)
                 last_T = frame.T_WC
                 if verbose and i % 30 == 0 and i > 0:
                     fps = i / (time.time() - t0)
@@ -466,19 +493,24 @@ class SLAM:
 
     def _loop_pipelined(self, fetch_q: queue.Queue, n: int, t0: float,
                         verbose: bool):
-        """Two-chip software pipeline (engine.pipeline: 2, VERDICT r2 item 3).
+        """Host-pipelined frontend loop (engine.pipeline: 1 single-chip /
+        2 two-chip; VERDICT r2 item 3 + r4 item 1).
 
         For frame i the host issues, in order, WITHOUT blocking between:
           1. encode(i) + speculative decode(i) vs the current keyframe
-             -> chip 0 (model) starts frame i;
-          2. track_finish(i-1): blocks on chip 1's decision stats for the
-             PREVIOUS frame; chip 0 is still busy with frame i.  May append
-             a keyframe / flip mode;
+             — async dispatches, the device starts frame i;
+          2. track_finish(i-1): the ONE blocking readback per frame — the
+             16-float stats vector (decision scalars + pose) for the
+             PREVIOUS frame.  Its tunnel round-trip overlaps the device
+             executing step 1's work.  May append a keyframe / flip mode;
           3. track_submit(i): re-decodes if the keyframe switched in step 2
              (speculation corrected exactly -> identical trajectories),
-             transfers the decode outputs to chip 1, enqueues
-             `_track_compute(i)` there — which then overlaps step 1 of
-             frame i+1 on chip 0.
+             then enqueues `_track_compute(i)` — which overlaps step 1 of
+             frame i+1.
+        With pipeline: 2, step 3 additionally places `_track_compute` on a
+        second chip so the two halves of the frame run concurrently; the
+        dispatch-ordering benefit above is placement-independent and is
+        worth far more over a high-latency tunnel than the second chip.
         INIT/RELOC frames drain the pipeline and run sequentially.
         """
         pending = None   # (frame_idx, timestamp, tracker pending)
@@ -503,11 +535,10 @@ class SLAM:
                         pi, pts, pend = pending
                         new_kf, try_reloc = self.tracker.track_finish(pend)
                         self._after_track(pend[0], pts, new_kf, try_reloc)
-                        # fence on the finished frame's pose so frame.latency
-                        # includes device completion (block_until_ready does
-                        # not block over the TPU tunnel — ADVICE r3; mirrors
-                        # the sequential loop's np.asarray fence)
-                        np.asarray(pend[0].T_WC)
+                        # no extra fence: the stats readback inside
+                        # track_finish blocks on the whole `_track_compute`
+                        # program (all outputs of one jit complete together)
+                        # and already carried the pose for _log
                     pending = None
 
                 if prev_frame is not None:

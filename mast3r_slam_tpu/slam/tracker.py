@@ -225,16 +225,21 @@ def _track_compute(
 
     # decision scalars packed into ONE tiny array: the host reads them with
     # a single transfer instead of five (each lazy scalar fetch is a full
-    # device round-trip)
-    stats = jnp.stack([
-        match_frac,
-        match_frac_k,
-        unique_frac_f,
-        ok.astype(jnp.float32),
-        frame_n_fused.astype(jnp.float32),
-        frame_n_updates.astype(jnp.float32),
-        frame_score,
-        cost,
+    # device round-trip).  The new pose rides along as stats[8:16] so the
+    # engine's trajectory log needs NO second blocking fetch per frame
+    # (VERDICT r4 item 1: track_finish + _log share a single readback).
+    stats = jnp.concatenate([
+        jnp.stack([
+            match_frac,
+            match_frac_k,
+            unique_frac_f,
+            ok.astype(jnp.float32),
+            frame_n_fused.astype(jnp.float32),
+            frame_n_updates.astype(jnp.float32),
+            frame_score,
+            cost,
+        ]),
+        T_WCf_new.astype(jnp.float32),
     ])
 
     return dict(
@@ -309,6 +314,10 @@ class FrameTracker:
         # (tracked-against kf_idx, idx, valid, Q) of the newest keyframe's
         # own match — see track_finish
         self.last_match_capture = None
+        # host copy of the most recent stats readback (16 floats) — set by
+        # track_finish; consumers that need the same scalars again (bench
+        # harness) read this instead of paying a second device fetch
+        self.last_stats = None
         self.reset_idx_f2k()
 
     def reset_idx_f2k(self):
@@ -412,15 +421,22 @@ class FrameTracker:
         return frame, kf_idx, out
 
     def track_finish(self, pending):
-        """Block on the decision stats, commit state, decide keyframe/reloc."""
+        """Block on the decision stats, commit state, decide keyframe/reloc.
+
+        This is the ONE blocking device readback of a tracked frame: the
+        16-float stats vector carries both the decision scalars and the new
+        pose (stats[8:16]), so the trajectory log reuses it instead of
+        fetching ``frame.T_WC`` again (VERDICT r4 item 1)."""
         frame, kf_idx, out = pending
         kf = self.keyframes
         self.idx_f2k = out["idx_f2k"]
 
         import numpy as np
 
+        stats = np.asarray(out["stats"])
+        self.last_stats = stats  # host copy, reusable by callers (bench)
         (match_frac, match_frac_k, unique_frac_f, gn_ok, n_fused, n_updates,
-         frame_score, _) = np.asarray(out["stats"])
+         frame_score, _) = stats[:8]
 
         # low overlap -> relocalise (tracker.py:66-70);
         # GN/Cholesky failure -> skip frame (tracker.py:91-93)
@@ -435,6 +451,7 @@ class FrameTracker:
         frame.n_updates = int(n_updates)
         frame.score = float(frame_score)
         frame.T_WC = out["T_WCf"]
+        frame.T_WC_np = stats[8:16]
         kf.update_pointmap(kf_idx, out["kf_X"], out["kf_C"], out["kf_n_fused"],
                            out["kf_n_updates"], out["kf_score"])
 

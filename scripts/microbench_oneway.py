@@ -111,7 +111,11 @@ def main():
         return _add_factors_forward((H, W), res, -1.0, mk)["idx_i2j"]
 
     def fence(o):
-        np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[:1]
+        # fence EVERY leaf: the oneway/reuse variants return (o1, o2) with
+        # o2 dispatched last — fencing only the first leaf undercounts them
+        # (ADVICE r4)
+        for leaf in jax.tree_util.tree_leaves(o):
+            np.asarray(leaf).ravel()[:1]
 
     variants = (
         ("sym", task_symmetric),

@@ -27,6 +27,17 @@ ASMK_SRC = "/root/reference/thirdparty/mast3r/asmk"
 ASMK_BLD = "/tmp/asmk_oracle"
 
 
+def _skip_or_fail(msg: str):
+    """LOUD skip (VERDICT r4 weak item 5): this oracle is the only
+    end-to-end retrieval parity signal — when the reference tree IS
+    present, a toolchain/compile breakage must FAIL, not silently skip.
+    Set MAST3R_ASMK_ORACLE_SOFT=1 to restore soft-skip semantics on
+    machines without a C toolchain."""
+    if os.path.isdir(ASMK_SRC) and not os.environ.get("MAST3R_ASMK_ORACLE_SOFT"):
+        pytest.fail(f"asmk oracle unavailable with reference present: {msg}")
+    pytest.skip(msg)
+
+
 @pytest.fixture(scope="module")
 def ref_asmk():
     """Compile + import the reference asmk package (cached in /tmp)."""
@@ -49,7 +60,7 @@ def ref_asmk():
             text=True,
         )
         if r.returncode != 0:
-            pytest.skip(f"cannot compile reference hamming.c: {r.stderr[-500:]}")
+            _skip_or_fail(f"cannot compile reference hamming.c: {r.stderr[-500:]}")
 
     if "faiss" not in sys.modules:
         # numpy stand-in for the only faiss surface asmk uses (IndexFlatL2
@@ -80,9 +91,11 @@ def ref_asmk():
 
     sys.path.insert(0, ASMK_BLD)
     try:
-        import asmk  # noqa: F401
-        from asmk import asmk_method  # noqa: F401
-
+        try:
+            import asmk  # noqa: F401
+            from asmk import asmk_method  # noqa: F401
+        except Exception as e:
+            _skip_or_fail(f"cannot import reference asmk: {e!r}")
         yield asmk
     finally:
         sys.path.remove(ASMK_BLD)

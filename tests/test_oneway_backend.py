@@ -105,6 +105,36 @@ def test_gate_uses_forward_fraction_only(tracked_scene):
     assert (g_one.ii[0], g_one.jj[0]) == (n - 2, n - 1)
 
 
+def test_reloc_always_bidirectional_under_oneway(tracked_scene):
+    """ADVICE r4 (medium): a relocalization call (is_reloc=True) must take
+    the strict bidirectional path even with oneway_nonconsec on and
+    reloc.strict=False (strict only controls all-or-nothing acceptance).
+    Reloc edges are all non-consecutive, so before the fix they silently
+    took the forward-only path."""
+    model, cfg, kf = tracked_scene
+    n = len(kf)
+    thresh = float(cfg["local_opt"]["min_match_frac"])
+    # reloc-shaped call: new keyframe ii vs a retrieved overlapping keyframe
+    ii = [n - 1]
+    jj = [n - 2]
+
+    g_ref = _fresh_graph(model, cfg, kf, oneway=False)
+    g_one = _fresh_graph(model, cfg, kf, oneway=True)
+    assert g_ref.add_factors(ii, jj, thresh, is_reloc=True, strict=False)
+    assert g_one.add_factors(ii, jj, thresh, is_reloc=True, strict=False)
+    assert g_one.n_edges == g_ref.n_edges == 1
+
+    # the backward direction must be populated and identical to the
+    # reference-exact path — not the oneway zero-weight half-row
+    assert np.asarray(g_one.valid_match_i[0]).any()
+    np.testing.assert_array_equal(
+        np.asarray(g_one.idx_jj2ii[0]), np.asarray(g_ref.idx_jj2ii[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g_one.Q_jj2ii[0]), np.asarray(g_ref.Q_jj2ii[0])
+    )
+
+
 def test_reuse_capture_stored_as_backward(tracked_scene):
     """local_opt.reuse_tracker_match: the consecutive edge stores the
     tracker's captured match verbatim as its backward direction, with the
