@@ -165,6 +165,19 @@ def main():
         print(f"system bench failed: {e!r}", file=sys.stderr)
         sys_fps = None
 
+    # reference-exact backend semantics (VERDICT r4 item 5): the speed
+    # profile's backend does LESS work per loop-closure candidate (oneway
+    # decode, reused tracker matches); report the reference-semantics
+    # system number alongside so the record never rests on the unvalidated
+    # accuracy trade alone.
+    try:
+        sys_fps_ref = _system_bench(
+            params, cfg, speed_cfg, (H, W), ref_backend=True, max_passes=3
+        )
+    except Exception as e:
+        print(f"ref-backend system bench failed: {e!r}", file=sys.stderr)
+        sys_fps_ref = None
+
     out = {
         "metric": "slam_tracked_frame_fps_1chip",
         "value": round(fps, 3),
@@ -174,10 +187,14 @@ def main():
     if sys_fps is not None:
         out["system_fps"] = round(sys_fps, 3)
         out["system_vs_baseline"] = round(sys_fps / REFERENCE_FPS, 3)
+    if sys_fps_ref is not None:
+        out["system_fps_ref_backend"] = round(sys_fps_ref, 3)
+        out["system_ref_vs_baseline"] = round(sys_fps_ref / REFERENCE_FPS, 3)
     print(json.dumps(out))
 
 
-def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72):
+def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72,
+                  ref_backend: bool = False, max_passes: int = 4):
     """End-to-end system fps: SLAM.run with backend + retrieval on the chip.
 
     Keyframe decisions are pinned to every 6th frame (the reference's
@@ -185,6 +202,12 @@ def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72):
     meaningless match fractions — every COMPUTE path (track program, fusion,
     keyframe append, backend symmetric decode + matching + global GN,
     retrieval quantize/IVF) runs for real at production shapes.
+
+    ``ref_backend=True`` disables the backend semantics reductions
+    (oneway_nonconsec, reuse_tracker_match, speculative_gate): every
+    loop-closure candidate gets the reference's symmetric decode +
+    bidirectional gate (global_opt.py:49-79) and the gate readback is
+    synchronous — the honest reference-work-per-task configuration.
     """
     import numpy as np
 
@@ -201,6 +224,10 @@ def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72):
         cfg["single_thread"] = False  # live mode: backend overlaps tracking
         cfg["engine"]["keyframe_buffer"] = 64
         cfg["engine"]["edge_buffer"] = 64
+        if ref_backend:
+            cfg["local_opt"]["oneway_nonconsec"] = False
+            cfg["local_opt"]["reuse_tracker_match"] = False
+            cfg["local_opt"]["speculative_gate"] = False
         # random-weight confidences sit ~1 (below the 1.5 gates) and random
         # exp-depth pointmaps blow the occlusion distance check, so every
         # confidence/distance gate would zero the workload; open them all so
@@ -321,9 +348,10 @@ def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72):
     # report the best pass.
     walls = []
     slam = None
-    for p in range(4):
+    tag = "system(ref-backend)" if ref_backend else "system"
+    for p in range(max_passes):
         wall, slam = run_once(n_frames)
-        print(f"system pass {p}: {wall:.2f}s", file=sys.stderr)
+        print(f"{tag} pass {p}: {wall:.2f}s", file=sys.stderr)
         if walls and wall > 0.9 * min(walls):
             walls.append(wall)
             break
@@ -331,13 +359,13 @@ def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72):
     wall = min(walls)
     fps = n_frames / wall
     print(
-        f"system: {n_frames} frames in {wall:.2f}s = {fps:.2f} fps "
+        f"{tag}: {n_frames} frames in {wall:.2f}s = {fps:.2f} fps "
         f"(kf={len(slam.keyframes)}, edges={slam.graph.n_edges}, "
         f"backend tasks overlap tracking)",
         file=sys.stderr,
     )
     for line in slam.timer.report().splitlines():
-        print(f"system.{line}", file=sys.stderr)
+        print(f"{tag}.{line}", file=sys.stderr)
     return fps
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pathlib
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import constrain_points_to_ray
@@ -62,11 +63,15 @@ def save_reconstruction(
     """Confidence-thresholded world pointcloud (evaluate.py:47-71)."""
     pointclouds, colors = [], []
     for i in range(len(keyframes)):
-        X = keyframes.X[i]
+        # paging-aware row fetch (resident or host-evicted keyframes)
+        X_np, C_np = keyframes.pointmap_np(i)
+        X = jnp.asarray(X_np)
         if use_calib and keyframes.K is not None:
             X = constrain_points_to_ray(img_hw, X, keyframes.K)
         pW = np.asarray(sim3.act(keyframes.T_WC[i], X)).reshape(-1, 3)
-        conf = np.asarray(keyframes.average_conf(i)).reshape(-1)
+        conf = (
+            C_np / max(float(keyframes.n_fused[i]), 1.0)
+        ).reshape(-1)
         uimg = keyframes.uimgs[i]
         if uimg is None or np.asarray(uimg).reshape(-1, 3).shape[0] != pW.shape[0]:
             # no image, or stored at a different resolution than the

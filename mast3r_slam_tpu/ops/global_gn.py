@@ -218,7 +218,10 @@ def _edge_Hg(Ti, w, err, J_local, impl: str = "reduce"):
     HMt = sim3.apply_adj_inv(Ti, H_l)    # rows -> H_l Mᵀ
     H_e = sim3.apply_adj_inv(Ti, HMt.T)  # -> M H_l Mᵀ
     g_e = sim3.apply_adj_inv(Ti, g_l)
-    return H_e, g_e
+    # Mloc[7,7] = Σ w err² — the robust cost of this edge, free from the
+    # augmented outer product; feeds the GN loop's monotone-cost health
+    # guard (VERDICT r4 item 6)
+    return H_e, g_e, Mloc[7, 7]
 
 def precompute_edge_data(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
                          settings, mode: str, img_hw):
@@ -436,7 +439,11 @@ def _assemble_and_solve_pcg(H_e, g_e, ii, jj, num_poses: int, pin: int,
 
     # preconditioner.  "block": per-pose 7x7 Cholesky solves; "diag": scalar
     # Jacobi (elementwise) — numerically bulletproof on TPU, where batched
-    # triangular solves are a divergence suspect (see tpu_pcg_diag runs).
+    # triangular solves were the r3 divergence suspect (tpu_pcg_diag runs);
+    # since r5 this is a guarded property, not a probe result: the GN loop's
+    # monotone-cost check (_gn_core) reverts any cost-increasing step and
+    # FactorGraph.solve demotes the next solve to the windowed-dense route
+    # (tests/test_solver_health.py fault-injection).
     if precond == "diag":
         dinv = 1.0 / jnp.maximum(
             jnp.diagonal(D, axis1=-2, axis2=-1), 1e-12
@@ -534,7 +541,10 @@ def gauss_newton_poses(
     Twc: (P, 8) poses; Xs: (P, N, 3); Cs: (P, N, 1);
     ii, jj: (E,) edge pose indices; idx_ii2jj: (E, N); valid_match: (E, N, 1);
     Q: (E, N, 1).  Padded edges must carry valid_match=False (zero weight).
-    Returns (Twc', iters, ok).
+    Returns (Twc', iters, ok, diverged): `diverged` is the monotone-cost
+    health guard — True means an iteration increased the robust cost, the
+    offending step was reverted (Twc' is the last good iterate) and the
+    loop stopped; callers should fall back to a safer solver route.
     """
     Xi_all, Xj_all, sq_all, ut_all, vt_all = precompute_edge_data(
         Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, settings, mode, img_hw
@@ -672,17 +682,18 @@ def _gn_core(Twc, ii, jj, Xi_all, Xj_all, sq_all, ut_all, vt_all, K, img_hw,
         HMt = conj(Ti, H_l)
         H_e = conj(Ti, jnp.swapaxes(HMt, 1, 2))
         g_e = conj(Ti, g_l)
-        return H_e, g_e
+        return H_e, g_e, Mloc[:, 7, 7]
 
     def one_iter(Twc_):
         if use_pallas:
-            H_e, g_e = _blocks_pallas(Twc_)
+            H_e, g_e, c_e = _blocks_pallas(Twc_)
         else:
-            H_e, g_e = jax.lax.map(
+            H_e, g_e, c_e = jax.lax.map(
                 partial(block_fn, Twc_),
                 (ii, jj, Xi_all, Xj_all, sq_all, ut_all, vt_all),
                 batch_size=settings.edge_batch,
             )
+        cost = jnp.sum(c_e)  # robust cost at Twc_ (before this step)
         if use_pcg:
             dx, ok = _assemble_and_solve_pcg(
                 H_e, g_e, ii, jj, P, settings.pin,
@@ -701,22 +712,43 @@ def _gn_core(Twc, ii, jj, Xi_all, Xj_all, sq_all, ut_all, vt_all, K, img_hw,
             jnp.arange(P)[:, None] >= settings.pin
         )
         Twc_new = jnp.where(keep, Twc_new, Twc_)
-        return Twc_new, jnp.sqrt(jnp.sum(dx * dx)), ok  # VPU reduce, not an MXU dot
+        return Twc_new, jnp.sqrt(jnp.sum(dx * dx)), ok, cost  # VPU reduce
 
+    # monotone-cost health guard (VERDICT r4 item 6): the robust cost is
+    # free from the augmented [J|err] outer product (Mloc[7,7]), so every
+    # iteration checks that the PREVIOUS step did not increase it.  A
+    # diverging step (broken preconditioner, CG blow-up) reverts to the
+    # last good poses and raises `diverged` so the caller can fall back
+    # to a safer solver (factor_graph.solve).  Tolerance 1.01: GN with
+    # Levenberg damping is near-monotone; tiny f32 wobble is not failure.
     def cond(state):
-        Twc_, it, delta, ok = state
-        return (it < settings.max_iters) & (delta >= settings.delta_norm) & ok
+        _, _, it, delta, ok, _, div = state
+        return (
+            (it < settings.max_iters)
+            & (delta >= settings.delta_norm)
+            & ok
+            & ~div
+        )
 
     def body(state):
-        Twc_, it, _, _ = state
-        Twc_new, delta, ok = one_iter(Twc_)
-        return (Twc_new, it + 1, delta, ok)
+        Twc_, Twc_prev, it, _, _, prev_cost, _ = state
+        Twc_new, delta, ok, cost = one_iter(Twc_)
+        worse = cost > prev_cost * 1.01
+        # revert the diverging step; the guard fires at most once
+        Twc_out = jnp.where(worse, Twc_prev, Twc_new)
+        return (Twc_out, Twc_, it + 1, delta, ok,
+                jnp.where(worse, prev_cost, cost), worse)
 
     init = (
+        Twc,
         Twc,
         jnp.asarray(0, dtype=jnp.int32),
         jnp.asarray(jnp.inf, dtype=jnp.float32),
         jnp.asarray(True),
+        jnp.asarray(jnp.inf, dtype=jnp.float32),
+        jnp.asarray(False),
     )
-    Twc_out, iters, _, ok = jax.lax.while_loop(cond, body, init)
-    return Twc_out, iters, ok
+    Twc_out, _, iters, _, ok, _, diverged = jax.lax.while_loop(
+        cond, body, init
+    )
+    return Twc_out, iters, ok, diverged

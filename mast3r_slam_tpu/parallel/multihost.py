@@ -7,15 +7,23 @@ all processes — XLA routes the intra-slice part of the reduction over ICI and
 the cross-host part over DCN; nothing in the BA code changes.
 
 Design choices for the multi-host regime:
-  * keyframe pointmaps (the largest state, <=1.2 GB at 512 keyframes) stay
-    REPLICATED: every edge needs arbitrary (ii, jj) pairs, and replication
-    turns the solve into pure compute scaling with zero resharding traffic.
-    Sharding poses/maps would add two all-gathers per iteration for <2 GB of
-    savings — the wrong trade below ~4k keyframes.
+  * keyframe pointmaps stay REPLICATED on device: every edge needs
+    arbitrary (ii, jj) pairs, and replication turns the solve into pure
+    compute scaling with zero resharding traffic.  Sharding poses/maps
+    would add two all-gathers per iteration — the wrong trade.  BEYOND
+    device memory, the r5 long-video plan applies unchanged per host:
+    keyframe PAGING (`engine.device_keyframes`, frame.py) bounds the
+    replicated pool and windowed solves + edge recycling bound what any
+    solve touches — so the replicated set is O(window + live loop edges),
+    not O(trajectory), at any video length (BASELINE.md r5 memory plan).
   * edges (and their dense (E, N) correspondence fields — the state that
     actually grows with trajectory length) are sharded on the flat device
     axis; a long-video run distributes both the matching inference for new
     factors and the BA across hosts.
+
+The full engine across 2 real processes (trajectory parity vs
+single-device) runs in tests/test_multihost.py::
+test_two_process_distributed_engine via tests/distributed_engine_worker.py.
 
 Launch (one process per host):
     python -c "import mast3r_slam_tpu.parallel.multihost as mh; mh.initialize(); ..."

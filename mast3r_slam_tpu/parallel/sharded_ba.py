@@ -45,7 +45,7 @@ def _local_blocks(Twc, K, img_hw, settings, mode, ii, jj, edge_data):
         block_fn = lambda edge: _edge_block_calib(Twc, K, img_hw, settings, edge)
 
     Xi, Xj, sq, ut, vt = edge_data
-    H_e, g_e = jax.lax.map(
+    H_e, g_e, c_e = jax.lax.map(
         block_fn, (ii, jj, Xi, Xj, sq, ut, vt), batch_size=settings.edge_batch
     )
 
@@ -59,7 +59,7 @@ def _local_blocks(Twc, K, img_hw, settings, mode, ii, jj, edge_data):
     gbig = jnp.zeros((M + 1, 7), dtype=jnp.float32)
     gbig = gbig.at[io].add(-g_e)
     gbig = gbig.at[jo].add(g_e)
-    return Hbig, gbig
+    return Hbig, gbig, jnp.sum(c_e)
 
 
 def _solve_dense(Hbig, gbig, P_total: int, pin: int, damping: float = 1e-4):
@@ -98,7 +98,8 @@ def gauss_newton_poses_sharded(
     """Distributed GN: edge arrays sharded on `edges` axis, rest replicated.
 
     Edge count must be divisible by the mesh size (pad with valid=False
-    edges).  Returns (Twc', iters, ok) — replicated.
+    edges).  Returns (Twc', iters, ok, diverged) — replicated; `diverged`
+    is the monotone-cost health guard's flag (cf. ops.global_gn._gn_core).
     """
     P_total = Twc.shape[0]
     pin = settings.pin
@@ -121,16 +122,17 @@ def gauss_newton_poses_sharded(
         shard_map,
         mesh=mesh,
         in_specs=(rspec, rspec, espec, espec) + (espec,) * 5,
-        out_specs=(rspec, rspec),
+        out_specs=(rspec, rspec, rspec),
     )
     def accumulate(Twc_, K_, ii_, jj_, Xi_, Xj_, sq_, ut_, vt_):
-        Hbig, gbig = _local_blocks(
+        Hbig, gbig, cost = _local_blocks(
             Twc_, K_, img_hw, settings, mode, ii_, jj_, (Xi_, Xj_, sq_, ut_, vt_)
         )
         # one ICI collective reduces the normal equations across the mesh
         Hbig = jax.lax.psum(Hbig, EDGE_AXIS)
         gbig = jax.lax.psum(gbig, EDGE_AXIS)
-        return Hbig, gbig
+        cost = jax.lax.psum(cost, EDGE_AXIS)
+        return Hbig, gbig, cost
 
     @jax.jit
     def run(Twc0, Xs_, Cs_, K_, ii_, jj_, idx_, valid_, Q_):
@@ -138,7 +140,7 @@ def gauss_newton_poses_sharded(
         edge_data = precompute(Xs_, Cs_, K_, ii_, jj_, idx_, valid_, Q_)
 
         def one_iter(Twc_):
-            Hbig, gbig = accumulate(Twc_, K_, ii_, jj_, *edge_data)
+            Hbig, gbig, cost = accumulate(Twc_, K_, ii_, jj_, *edge_data)
             dx, ok = _solve_dense(Hbig, gbig, P_total, pin,
                                   settings.pcg_damping)
             dx_full = jnp.concatenate(
@@ -146,24 +148,40 @@ def gauss_newton_poses_sharded(
             )
             Twc_new = sim3.retr(Twc_, dx_full)
             keep = jnp.arange(P_total)[:, None] >= pin
-            return jnp.where(keep, Twc_new, Twc_), jnp.sqrt(jnp.sum(dx * dx)), ok  # VPU reduce, not an MXU dot
+            return (jnp.where(keep, Twc_new, Twc_),
+                    jnp.sqrt(jnp.sum(dx * dx)), ok, cost)  # VPU reduce
 
+        # monotone-cost health guard — same semantics as the single-device
+        # loop (ops.global_gn._gn_core): a cost-increasing step reverts to
+        # the last good poses and raises `diverged`
         def cond(state):
-            _, it, delta, ok = state
-            return (it < settings.max_iters) & (delta >= settings.delta_norm) & ok
+            _, _, it, delta, ok, _, div = state
+            return (
+                (it < settings.max_iters)
+                & (delta >= settings.delta_norm)
+                & ok
+                & ~div
+            )
 
         def body(state):
-            Twc_, it, _, _ = state
-            Twc_new, delta, ok = one_iter(Twc_)
-            return (Twc_new, it + 1, delta, ok)
+            Twc_, Twc_prev, it, _, _, prev_cost, _ = state
+            Twc_new, delta, ok, cost = one_iter(Twc_)
+            worse = cost > prev_cost * 1.01
+            return (jnp.where(worse, Twc_prev, Twc_new), Twc_, it + 1,
+                    delta, ok, jnp.where(worse, prev_cost, cost), worse)
 
         init = (
+            Twc0,
             Twc0,
             jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, jnp.float32),
             jnp.asarray(True),
+            jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(False),
         )
-        Twc_out, iters, _, ok = jax.lax.while_loop(cond, body, init)
-        return Twc_out, iters, ok
+        Twc_out, _, iters, _, ok, _, diverged = jax.lax.while_loop(
+            cond, body, init
+        )
+        return Twc_out, iters, ok, diverged
 
     return run(Twc, Xs, Cs, K, ii, jj, idx_ii2jj, valid_match, Q)

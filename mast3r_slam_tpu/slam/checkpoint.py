@@ -24,6 +24,7 @@ def save_state(path, slam) -> None:
     """Serialise a SLAM engine's map state to <path> (npz)."""
     kf = slam.keyframes
     g = slam.graph
+    g.resolve_pending_verdicts()  # speculative gate: land verdicts first
     n = len(kf)
     E = g.n_edges
     arrays = dict(
@@ -33,13 +34,9 @@ def save_state(path, slam) -> None:
         # keyframes (only the filled slots)
         kf_frame_id=kf.frame_id[:n],
         kf_T_WC=np.asarray(kf.T_WC[:n]),
-        kf_X=np.asarray(kf.X[:n]),
-        kf_C=np.asarray(kf.C[:n]),
         kf_n_fused=np.asarray(kf.n_fused[:n]),
         kf_n_updates=np.asarray(kf.n_updates[:n]),
         kf_score=np.asarray(kf.score[:n]),
-        kf_feat=np.asarray(kf.feat[:n]),
-        kf_pos=np.asarray(kf.pos[:n]),
         # factor graph
         edge_ii=g.ii[:E],
         edge_jj=g.jj[:E],
@@ -49,7 +46,26 @@ def save_state(path, slam) -> None:
         edge_valid_i=np.asarray(g.valid_match_i[:E]),
         edge_Q_ii2jj=np.asarray(g.Q_ii2jj[:E]),
         edge_Q_jj2ii=np.asarray(g.Q_jj2ii[:E]),
+        edge_live=g.edge_live[:E],
     )
+    # paged rows: read per keyframe, resident or evicted (identity slicing
+    # only holds without paging — frame.py Keyframes paging)
+    if n > 0:
+        pm = [kf.pointmap_np(i) for i in range(n)]
+        ft = [kf.feat_np(i) for i in range(n)]
+        arrays.update(
+            kf_X=np.stack([p[0] for p in pm]),
+            kf_C=np.stack([p[1] for p in pm]),
+            kf_feat=np.stack([f[0] for f in ft]),
+            kf_pos=np.stack([f[1] for f in ft]),
+        )
+    else:
+        arrays.update(
+            kf_X=np.zeros((0,) + kf.X.shape[1:], np.float32),
+            kf_C=np.zeros((0,) + kf.C.shape[1:], np.float32),
+            kf_feat=np.zeros((0,) + kf.feat.shape[1:], np.float32),
+            kf_pos=np.zeros((0,) + kf.pos.shape[1:], np.int32),
+        )
     if kf.K is not None:
         arrays["K"] = np.asarray(kf.K)
     uimgs = [u for u in kf.uimgs[:n]]
@@ -92,16 +108,36 @@ def load_state(path, slam) -> None:
     kf.n = n
     kf.frame_id[:n] = data["kf_frame_id"]
     kf.T_WC = kf.T_WC.at[:n].set(jnp.asarray(data["kf_T_WC"]))
-    kf.X = kf.X.at[:n].set(jnp.asarray(data["kf_X"]))
-    kf.C = kf.C.at[:n].set(jnp.asarray(data["kf_C"]))
     kf.n_fused = kf.n_fused.at[:n].set(jnp.asarray(data["kf_n_fused"]))
     if "kf_n_updates" in data:
         kf.n_updates = kf.n_updates.at[:n].set(jnp.asarray(data["kf_n_updates"]))
         kf.score = kf.score.at[:n].set(jnp.asarray(data["kf_score"]))
     else:  # v1 checkpoints predate fusion-state threading
         kf.n_updates = kf.n_updates.at[:n].set(jnp.asarray(data["kf_n_fused"]))
-    kf.feat = kf.feat.at[:n].set(jnp.asarray(data["kf_feat"]))
-    kf.pos = kf.pos.at[:n].set(jnp.asarray(data["kf_pos"]))
+    # paged rows: the NEWEST keyframes (the tracker and solve window need
+    # them resident) come back in device slots; older overflow restores as
+    # host copies and re-materialises on demand.  Without paging m == n
+    # and the slot mapping is identity.
+    m = min(n, kf.dcap)
+    first = n - m
+    kf.X = kf.X.at[:m].set(jnp.asarray(data["kf_X"][first:n]))
+    kf.C = kf.C.at[:m].set(jnp.asarray(data["kf_C"][first:n]))
+    kf.feat = kf.feat.at[:m].set(jnp.asarray(data["kf_feat"][first:n]))
+    kf.pos = kf.pos.at[:m].set(jnp.asarray(data["kf_pos"][first:n]))
+    kf.slot_of[:] = -1
+    kf.slot_of[first:n] = np.arange(m, dtype=np.int32)
+    kf._slot_owner[:] = -1
+    kf._slot_owner[:m] = np.arange(first, n, dtype=np.int32)
+    kf._free_slots = set(range(m, kf.dcap))
+    kf._host_rows.clear()
+    for i in range(first):
+        kf._host_rows[i] = dict(
+            X=np.asarray(data["kf_X"][i]),
+            C=np.asarray(data["kf_C"][i]),
+            feat=np.asarray(data["kf_feat"][i]),
+            pos=np.asarray(data["kf_pos"][i]),
+            ver=int(kf.pm_version[i]),
+        )
     if "K" in data:
         kf.K = jnp.asarray(data["K"])
     if "kf_uimg" in data:
@@ -117,6 +153,8 @@ def load_state(path, slam) -> None:
     g.valid_match_i = g.valid_match_i.at[:E].set(jnp.asarray(data["edge_valid_i"]))
     g.Q_ii2jj = g.Q_ii2jj.at[:E].set(jnp.asarray(data["edge_Q_ii2jj"]))
     g.Q_jj2ii = g.Q_jj2ii.at[:E].set(jnp.asarray(data["edge_Q_jj2ii"]))
+    if "edge_live" in data:  # v2 checkpoints predate speculative gating
+        g.edge_live[:E] = data["edge_live"]
 
     rdb = getattr(slam, "retrieval", None)
     if rdb is not None and "ivf_vecs" in data:

@@ -37,37 +37,88 @@ def _bucket(n: int, lo: int = 1) -> int:
 
 
 @jax.jit
-def _store_edges(idx_f, idx_b, vf, vb, qf, qb, start,
+def _store_edges(idx_f, idx_b, vf, vb, qf, qb, rows,
                  n_if, n_ib, n_vf, n_vb, n_qf, n_qb):
     """ONE dispatch for the six edge-store writes (12 separate scatter +
     gather ops otherwise — material per backend task over a remote tunnel).
-    Compiles once per n_new (the update row count, typically 1-4)."""
-    upd = jax.lax.dynamic_update_slice
+    `rows` (B,) int32: target edge rows — contiguous for plain appends,
+    arbitrary when recycled rows are reused (edge-row freelist, the
+    long-video edge-memory bound).  Compiles once per B."""
     return (
-        upd(idx_f, n_if, (start, 0)),
-        upd(idx_b, n_ib, (start, 0)),
-        upd(vf, n_vf, (start, 0, 0)),
-        upd(vb, n_vb, (start, 0, 0)),
-        upd(qf, n_qf, (start, 0, 0)),
-        upd(qb, n_qb, (start, 0, 0)),
+        idx_f.at[rows].set(n_if),
+        idx_b.at[rows].set(n_ib),
+        vf.at[rows].set(n_vf),
+        vb.at[rows].set(n_vb),
+        qf.at[rows].set(n_qf),
+        qb.at[rows].set(n_qb),
     )
 
 
 @jax.jit
-def _store_edges_oneway(idx_f, idx_b, vf, vb, qf, qb, start,
+def _store_edges_oneway(idx_f, idx_b, vf, vb, qf, qb, rows,
                         n_if, n_vf, n_qf):
     """Edge-store write for forward-only factors, one dispatch: the backward
     half-row is zeroed in-program (idx 0 / valid False / Q 0 — zero-weight in
     the scatter-assembled solve, finite under the gathered-point cache)."""
-    upd = jax.lax.dynamic_update_slice
     return (
-        upd(idx_f, n_if, (start, 0)),
-        upd(idx_b, jnp.zeros_like(n_if), (start, 0)),
-        upd(vf, n_vf, (start, 0, 0)),
-        upd(vb, jnp.zeros_like(n_vf), (start, 0, 0)),
-        upd(qf, n_qf, (start, 0, 0)),
-        upd(qb, jnp.zeros_like(n_qf), (start, 0, 0)),
+        idx_f.at[rows].set(n_if),
+        idx_b.at[rows].set(jnp.zeros_like(n_if)),
+        vf.at[rows].set(n_vf),
+        vb.at[rows].set(jnp.zeros_like(n_vf)),
+        qf.at[rows].set(n_qf),
+        qb.at[rows].set(jnp.zeros_like(n_qf)),
     )
+
+
+@jax.jit
+def _store_edges_gated(idx_f, idx_b, vf, vb, qf, qb, rows,
+                       n_if, n_ib, n_vf, n_vb, n_qf, n_qb,
+                       frac_j, frac_i, consec, thresh):
+    """`_store_edges` with the bidirectional match-fraction gate computed ON
+    DEVICE (local_opt.speculative_gate): every candidate edge is stored, but
+    a rejected one has its weight fields masked to zero in the same dispatch
+    — solve-identical to not storing it, and the host never blocks on the
+    fractions (VERDICT r4 item 2).  Returns the per-edge keep verdict as a
+    device array for lazy host bookkeeping (resolve_pending_verdicts)."""
+    keep = consec | (jnp.minimum(frac_j, frac_i) >= thresh)
+    m = keep[:, None, None]
+    mq = m.astype(qf.dtype)
+    return (
+        idx_f.at[rows].set(n_if),
+        idx_b.at[rows].set(n_ib),
+        vf.at[rows].set(n_vf & m),
+        vb.at[rows].set(n_vb & m),
+        qf.at[rows].set(n_qf * mq),
+        qb.at[rows].set(n_qb * mq),
+    ), keep
+
+
+@jax.jit
+def _store_edges_oneway_gated(idx_f, idx_b, vf, vb, qf, qb, rows,
+                              n_if, n_vf, n_qf, frac_j, thresh):
+    """`_store_edges_oneway` with the forward-fraction gate computed on
+    device (speculative gating of one-way loop-closure candidates)."""
+    keep = frac_j >= thresh
+    m = keep[:, None, None]
+    mq = m.astype(qf.dtype)
+    return (
+        idx_f.at[rows].set(n_if),
+        idx_b.at[rows].set(jnp.zeros_like(n_if)),
+        vf.at[rows].set(n_vf & m),
+        vb.at[rows].set(jnp.zeros_like(n_vf)),
+        qf.at[rows].set(n_qf * mq),
+        qb.at[rows].set(jnp.zeros_like(n_qf)),
+    ), keep
+
+
+@jax.jit
+def _zero_edge_rows(vf, vb, qf, qb, rows):
+    """Zero-weight recycled edge rows in one dispatch: valid False / Q 0
+    makes them exact no-ops in the scatter-assembled solve until reused."""
+    zb = jnp.zeros((rows.shape[0],) + vf.shape[1:], vf.dtype)
+    zq = jnp.zeros((rows.shape[0],) + qf.shape[1:], qf.dtype)
+    return (vf.at[rows].set(zb), vb.at[rows].set(zb),
+            qf.at[rows].set(zq), qb.at[rows].set(zq))
 
 
 @partial(jax.jit, static_argnames=("img_hw", "mode"))
@@ -198,6 +249,18 @@ class FactorGraph:
         self._gcache_cap = 0
         self._stamp_f = np.full((edge_capacity,), -1, dtype=np.int64)
         self._stamp_b = np.full((edge_capacity,), -1, dtype=np.int64)
+        # speculative gating (local_opt.speculative_gate): per-slot liveness
+        # + pending on-device verdicts (slot_start, count, keep device array)
+        self.edge_live = np.ones((edge_capacity,), dtype=bool)
+        self._pending: List[tuple] = []
+        # solver health guard: the last PCG-routed solve's on-device
+        # `diverged` flag (checked lazily at the next solve — see solve())
+        self._health_pending = None
+        self.n_recoveries = 0  # windowed-dense recovery solves triggered
+        # edge-row freelist (long-video edge-memory bound): rows of edges
+        # recycled by _recycle_old_edges, reused before growing the arrays
+        self._free_edge_rows: List[int] = []
+        self.n_edges_recycled = 0
 
     # ------------------------------------------------------------------
     # add factors
@@ -242,6 +305,11 @@ class FactorGraph:
             return False
         if strict is None:
             strict = is_reloc
+        # keyframe paging: loop-closure / reloc candidates may be evicted —
+        # re-materialise them before taking the snapshot (no-op when
+        # everything is resident)
+        if self.keyframes.paging:
+            self.keyframes.ensure_resident(set(ii) | set(jj))
         # snapshot: the symmetric decode + matching below is the backend's
         # single most expensive stretch — it must not hold any lock
         snap = self.keyframes.snapshot()
@@ -255,9 +323,17 @@ class FactorGraph:
             and bool(self.lcfg.get("reuse_tracker_match", False))
             and bool(captures)
         )
+        # speculative gating (local_opt.speculative_gate, VERDICT r4 item 2):
+        # store every candidate with the gate verdict computed + masked on
+        # device, never blocking the backend thread on the match fractions.
+        # Requires non-strict (strict needs the verdict NOW for its
+        # all-or-nothing decision) and the fast path (reloc stays exact).
+        spec = fast and not strict and bool(
+            self.lcfg.get("speculative_gate", False)
+        )
         if not (oneway or reuse):
             return self._add_factors_symmetric(
-                snap, ii_arr, jj_arr, min_match_frac, strict
+                snap, ii_arr, jj_arr, min_match_frac, strict, allow_spec=spec
             )
 
         consec = ii_arr == (jj_arr - 1)
@@ -288,7 +364,7 @@ class FactorGraph:
             out_f = self._compute_oneway(
                 snap, ii_arr[one_mask], jj_arr[one_mask]
             )
-        if out_s is not None and out_f is not None:
+        if out_s is not None and out_f is not None and not spec:
             # one batched host fetch for both gated groups' inputs (two
             # separate np.asarray blocks = two tunnel round-trips; the
             # reuse group is consecutive = kept unconditionally, no fetch)
@@ -300,29 +376,47 @@ class FactorGraph:
             out_f = dict(out_f, match_frac_j=ff_j)
         added = False
         if out_s is not None:
-            added |= self._gate_store_symmetric(
-                out_s, ii_arr[sym_mask], jj_arr[sym_mask], min_match_frac,
-                strict=False,
-            )
+            if spec:
+                added |= self._gate_store_symmetric_spec(
+                    out_s, ii_arr[sym_mask], jj_arr[sym_mask], min_match_frac
+                )
+            else:
+                added |= self._gate_store_symmetric(
+                    out_s, ii_arr[sym_mask], jj_arr[sym_mask], min_match_frac,
+                    strict=False,
+                )
         if out_r is not None:
             added |= self._store_reuse(
                 out_r, ii_arr[cap_mask], jj_arr[cap_mask], captures
             )
         if out_f is not None:
-            added |= self._gate_store_oneway(
-                out_f, ii_arr[one_mask], jj_arr[one_mask], min_match_frac
-            )
+            if spec:
+                added |= self._gate_store_oneway_spec(
+                    out_f, ii_arr[one_mask], jj_arr[one_mask], min_match_frac
+                )
+            else:
+                added |= self._gate_store_oneway(
+                    out_f, ii_arr[one_mask], jj_arr[one_mask], min_match_frac
+                )
         return added
 
     def _add_factors_symmetric(self, snap, ii_arr, jj_arr,
-                               min_match_frac: float, strict: bool) -> bool:
+                               min_match_frac: float, strict: bool,
+                               allow_spec: bool = False) -> bool:
         out = self._compute_symmetric(snap, ii_arr, jj_arr)
+        if allow_spec:
+            return self._gate_store_symmetric_spec(
+                out, ii_arr, jj_arr, min_match_frac
+            )
         return self._gate_store_symmetric(
             out, ii_arr, jj_arr, min_match_frac, strict
         )
 
     def _compute_symmetric(self, snap, ii_arr, jj_arr):
         B = len(ii_arr)
+        # paged arrays are indexed by device slot (identity when paging off)
+        sii = snap.slot_of[ii_arr]
+        sjj = snap.slot_of[jj_arr]
         if self.mesh is not None:
             # shard the symmetric-decode batch over the mesh's edge axis:
             # pad B to a pow2 multiple of the mesh size (pad pairs reuse
@@ -330,8 +424,8 @@ class FactorGraph:
             from ..parallel.mesh import shard_edges
 
             Bpad = _bucket(B, self.mesh.size)
-            ii_b = np.concatenate([ii_arr, np.zeros(Bpad - B, np.int32)])
-            jj_b = np.concatenate([jj_arr, np.zeros(Bpad - B, np.int32)])
+            ii_b = np.concatenate([sii, np.zeros(Bpad - B, np.int32)])
+            jj_b = np.concatenate([sjj, np.zeros(Bpad - B, np.int32)])
             feats = shard_edges(
                 self.mesh, snap.feat[ii_b], snap.pos[ii_b],
                 snap.feat[jj_b], snap.pos[jj_b]
@@ -339,8 +433,8 @@ class FactorGraph:
             res = self.model.symmetric(*feats)
         else:
             res = self.model.symmetric(
-                snap.feat[ii_arr], snap.pos[ii_arr],
-                snap.feat[jj_arr], snap.pos[jj_arr]
+                snap.feat[sii], snap.pos[sii],
+                snap.feat[sjj], snap.pos[sjj]
             )
         return _add_factors_compute(
             self.img_hw,
@@ -352,8 +446,13 @@ class FactorGraph:
     def _gate_store_symmetric(self, out, ii_arr, jj_arr,
                               min_match_frac: float, strict: bool) -> bool:
         B = len(ii_arr)
-        match_frac_j = np.asarray(out["match_frac_j"])[:B]
-        match_frac_i = np.asarray(out["match_frac_i"])[:B]
+        # one batched fetch (device_get is a pass-through when add_factors
+        # already pre-fetched these as numpy)
+        match_frac_j, match_frac_i = jax.device_get(
+            (out["match_frac_j"], out["match_frac_i"])
+        )
+        match_frac_j = np.asarray(match_frac_j)[:B]
+        match_frac_i = np.asarray(match_frac_i)[:B]
         consecutive = ii_arr == (jj_arr - 1)
         invalid = np.minimum(match_frac_j, match_frac_i) < min_match_frac
         invalid = (~consecutive) & invalid
@@ -363,17 +462,16 @@ class FactorGraph:
         n_new = int(keep.sum())
         if n_new == 0:
             return False
-        self._ensure_capacity(self.n_edges + n_new)
-        sl = slice(self.n_edges, self.n_edges + n_new)
         kidx = np.nonzero(keep)[0]
-        self.ii[sl] = ii_arr[kidx]
-        self.jj[sl] = jj_arr[kidx]
+        rows = self._take_edge_rows(n_new)
+        self.ii[rows] = ii_arr[kidx]
+        self.jj[rows] = jj_arr[kidx]
         kidx_j = jnp.asarray(kidx)
         (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
          self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = _store_edges(
             self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
             self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
-            self.n_edges,
+            jnp.asarray(rows),
             self._dev(out["idx_i2j"][kidx_j]),
             self._dev(out["idx_j2i"][kidx_j]),
             self._dev(out["valid_j"][kidx_j]),
@@ -381,19 +479,21 @@ class FactorGraph:
             self._dev(out["Qj"][kidx_j]),
             self._dev(out["Qi"][kidx_j]),
         )
-        self.n_edges += n_new
         # new edges have no cached gather rows yet
-        self._stamp_f[sl] = -1
-        self._stamp_b[sl] = -1
+        self._stamp_f[rows] = -1
+        self._stamp_b[rows] = -1
+        self.edge_live[rows] = True
         return True
 
     def _compute_oneway(self, snap, ii_arr, jj_arr):
         """Forward-only compute for non-consecutive (loop-closure)
         candidates: one asymmetric decode + one matching per pair (see
         :meth:`add_factors`)."""
+        sii = snap.slot_of[ii_arr]
+        sjj = snap.slot_of[jj_arr]
         res = self.model.asymmetric(
-            snap.feat[ii_arr], snap.pos[ii_arr],
-            snap.feat[jj_arr], snap.pos[jj_arr],
+            snap.feat[sii], snap.pos[sii],
+            snap.feat[sjj], snap.pos[sjj],
         )
         return _add_factors_forward(
             self.img_hw, res, float(self.lcfg["Q_conf"]), self._match_kwargs()
@@ -405,10 +505,9 @@ class FactorGraph:
         the fresh forward-only compute.  Consecutive edges are kept
         unconditionally (global_opt.py:72-75), so no gate fetch is needed."""
         n_new = len(ii_arr)
-        self._ensure_capacity(self.n_edges + n_new)
-        sl = slice(self.n_edges, self.n_edges + n_new)
-        self.ii[sl] = ii_arr
-        self.jj[sl] = jj_arr
+        rows = self._take_edge_rows(n_new)
+        self.ii[rows] = ii_arr
+        self.jj[rows] = jj_arr
         caps = [captures[(int(a), int(b))] for a, b in zip(ii_arr, jj_arr)]
         idx_b = jnp.stack([c[0] for c in caps])
         valid_b = jnp.stack([c[1] for c in caps])
@@ -417,7 +516,7 @@ class FactorGraph:
          self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = _store_edges(
             self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
             self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
-            self.n_edges,
+            jnp.asarray(rows),
             self._dev(out["idx_i2j"]),
             self._dev(idx_b),
             self._dev(out["valid_j"]),
@@ -425,9 +524,9 @@ class FactorGraph:
             self._dev(out["Qj"]),
             self._dev(q_b),
         )
-        self.n_edges += n_new
-        self._stamp_f[sl] = -1
-        self._stamp_b[sl] = -1
+        self._stamp_f[rows] = -1
+        self._stamp_b[rows] = -1
+        self.edge_live[rows] = True
         return True
 
     def _gate_store_oneway(self, out, ii_arr, jj_arr,
@@ -436,25 +535,167 @@ class FactorGraph:
         n_new = int(keep.sum())
         if n_new == 0:
             return False
-        self._ensure_capacity(self.n_edges + n_new)
-        sl = slice(self.n_edges, self.n_edges + n_new)
         kidx = np.nonzero(keep)[0]
-        self.ii[sl] = ii_arr[kidx]
-        self.jj[sl] = jj_arr[kidx]
+        rows = self._take_edge_rows(n_new)
+        self.ii[rows] = ii_arr[kidx]
+        self.jj[rows] = jj_arr[kidx]
         kidx_j = jnp.asarray(kidx)
         (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
          self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = _store_edges_oneway(
             self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
             self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
-            self.n_edges,
+            jnp.asarray(rows),
             self._dev(out["idx_i2j"][kidx_j]),
             self._dev(out["valid_j"][kidx_j]),
             self._dev(out["Qj"][kidx_j]),
         )
-        self.n_edges += n_new
-        self._stamp_f[sl] = -1
-        self._stamp_b[sl] = -1
+        self._stamp_f[rows] = -1
+        self._stamp_b[rows] = -1
+        self.edge_live[rows] = True
         return True
+
+    def _gate_store_symmetric_spec(self, out, ii_arr, jj_arr,
+                                   min_match_frac: float) -> bool:
+        """Speculative symmetric gate+store (local_opt.speculative_gate):
+        ALL candidate edges are stored in one dispatch with the
+        bidirectional gate verdict computed ON DEVICE and masked into the
+        weight fields — a rejected candidate becomes a zero-weight row,
+        which the scatter-assembled solve ignores exactly, so the solve
+        result is identical to the fetch-then-filter path.  The host never
+        blocks; verdicts land lazily via :meth:`resolve_pending_verdicts`.
+        Returns True when edges were dispatched (consecutive edges are kept
+        unconditionally; a batch of only-rejected candidates leaves dead
+        slots — bounded by retrieval.k per task)."""
+        B = len(ii_arr)
+        if B == 0:
+            return False
+        rows = self._take_edge_rows(B)
+        self.ii[rows] = ii_arr
+        self.jj[rows] = jj_arr
+        stores, keep = _store_edges_gated(
+            self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+            self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
+            jnp.asarray(rows),
+            self._dev(out["idx_i2j"]),
+            self._dev(out["idx_j2i"]),
+            self._dev(out["valid_j"]),
+            self._dev(out["valid_i"]),
+            self._dev(out["Qj"]),
+            self._dev(out["Qi"]),
+            self._dev(out["match_frac_j"]),
+            self._dev(out["match_frac_i"]),
+            self._dev(jnp.asarray(ii_arr == (jj_arr - 1))),
+            np.float32(min_match_frac),
+        )
+        (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+         self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = stores
+        self._stamp_f[rows] = -1
+        self._stamp_b[rows] = -1
+        self.edge_live[rows] = True
+        self._pending.append((rows, keep))
+        return True
+
+    def _gate_store_oneway_spec(self, out, ii_arr, jj_arr,
+                                min_match_frac: float) -> bool:
+        """Speculative forward-only gate+store (see
+        :meth:`_gate_store_symmetric_spec`)."""
+        B = len(ii_arr)
+        if B == 0:
+            return False
+        rows = self._take_edge_rows(B)
+        self.ii[rows] = ii_arr
+        self.jj[rows] = jj_arr
+        stores, keep = _store_edges_oneway_gated(
+            self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+            self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
+            jnp.asarray(rows),
+            self._dev(out["idx_i2j"]),
+            self._dev(out["valid_j"]),
+            self._dev(out["Qj"]),
+            self._dev(out["match_frac_j"]),
+            np.float32(min_match_frac),
+        )
+        (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+         self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = stores
+        self._stamp_f[rows] = -1
+        self._stamp_b[rows] = -1
+        self.edge_live[rows] = True
+        self._pending.append((rows, keep))
+        return True
+
+    def resolve_pending_verdicts(self):
+        """Fetch outstanding speculative gate verdicts (one batched host
+        read of tiny, long-since-ready buffers) and mark rejected edges
+        dead in ``edge_live``.  Dead edges stay as zero-weight device rows
+        — the solve ignores them either way — so this is bookkeeping for
+        observers: the live-edge count, viz edge lists, checkpoints."""
+        if not self._pending:
+            return
+        keeps = jax.device_get([k for _, k in self._pending])
+        for (rows, _), kv in zip(self._pending, keeps):
+            self.edge_live[rows] = np.asarray(kv, dtype=bool)
+        self._pending.clear()
+
+    @property
+    def n_live_edges(self) -> int:
+        """Edges that passed (or never needed) the match-fraction gate and
+        were not recycled.  Equals ``n_edges`` unless speculative gating
+        left dead slots or old edges were recycled."""
+        self.resolve_pending_verdicts()
+        return int(self.edge_live[: self.n_edges].sum())
+
+    def _take_edge_rows(self, B: int) -> np.ndarray:
+        """Allocate B edge rows: recycled rows first (edge-memory bound for
+        long videos), then fresh rows off the end (growing pow2)."""
+        rows = self._free_edge_rows[:B]
+        del self._free_edge_rows[:B]
+        need = B - len(rows)
+        if need:
+            self._ensure_capacity(self.n_edges + need)
+            rows.extend(range(self.n_edges, self.n_edges + need))
+            self.n_edges += need
+        return np.asarray(rows, np.int32)
+
+    def _recycle_old_edges(self, s0: int):
+        """Retire edges with BOTH endpoints before the solve window
+        (VERDICT r4 item 3: the edge arrays are the dominant device memory
+        at long-video scale — ~3.5 MB/edge at production resolution).
+
+        A windowed solve never touches old-old edges (its kept-mask needs
+        an endpoint >= s0), and the window only moves forward, so retiring
+        them is solve-identical for every future solve.  Rows are zeroed on
+        device (exact no-ops if a full solve ever sees them) and queued for
+        reuse; the arrays stop growing once the per-window edge population
+        stabilises."""
+        self.resolve_pending_verdicts()
+        E = self.n_edges
+        if E == 0:
+            return
+        free_mask = np.zeros((E,), bool)
+        free_mask[[r for r in self._free_edge_rows if r < E]] = True
+        old = (
+            (self.ii[:E] < s0) & (self.jj[:E] < s0) & ~free_mask
+        )
+        rows = np.nonzero(old)[0].astype(np.int32)
+        if rows.size == 0:
+            return
+        # pad to a pow2 bucket (repeat the first row — same-value writes)
+        Rpad = _bucket(int(rows.size), 4)
+        rows_p = np.full((Rpad,), rows[0], np.int32)
+        rows_p[: rows.size] = rows
+        (self.valid_match_j, self.valid_match_i,
+         self.Q_ii2jj, self.Q_jj2ii) = _zero_edge_rows(
+            self.valid_match_j, self.valid_match_i,
+            self.Q_ii2jj, self.Q_jj2ii, jnp.asarray(rows_p),
+        )
+        self.ii[rows] = 0
+        self.jj[rows] = 0
+        self.edge_live[rows] = False
+        self._stamp_f[rows] = -1
+        self._stamp_b[rows] = -1
+        self._free_edge_rows.extend(int(r) for r in rows)
+        self._free_edge_rows.sort()
+        self.n_edges_recycled += int(rows.size)
 
     def _ensure_capacity(self, needed: int):
         """Double the edge SoA when full (long-video ingest can outgrow the
@@ -485,6 +726,9 @@ class FactorGraph:
         )
         self._stamp_b = np.concatenate(
             [self._stamp_b, np.full(pad, -1, np.int64)]
+        )
+        self.edge_live = np.concatenate(
+            [self.edge_live, np.ones(pad, bool)]
         )
         self.capacity = new_cap
 
@@ -527,6 +771,9 @@ class FactorGraph:
         if mode is None:
             mode = "calib" if self.cfg["use_calib"] else "rays"
         E = self.n_edges
+        # keyframe paging: re-materialise what this solve needs BEFORE the
+        # snapshot (the snapshot's slot table is immutable afterwards)
+        self._prepare_residency(mode)
         # pointmap versions BEFORE the snapshot: a concurrent fusion landing
         # in between then stamps the cache conservatively (re-gathered next
         # solve) — never the unsafe direction (stale data, fresh stamp)
@@ -535,15 +782,73 @@ class FactorGraph:
         n_kf = snap.n
         if E == 0 or n_kf <= self.settings.pin:
             return
+        # solver health guard (VERDICT r4 item 6): the GN loop's monotone-
+        # cost check already REVERTED any diverging step on device (poses
+        # stayed at the last good iterate); here the previous PCG-routed
+        # solve's flag — a long-since-ready 1-byte buffer, so the fetch
+        # overlaps this task's queued device work — demotes THIS solve to
+        # the windowed-dense route, converting "trusted because probed"
+        # into safe-by-construction (ops/global_gn.py preconditioner note).
+        if self._consume_health():
+            old = self.settings
+            self.settings = old._replace(solver="dense")
+            try:
+                window = min(self.window_size or 10 ** 9,
+                             old.dense_max_poses)
+                if (n_kf - old.pin) > window:
+                    self._solve_windowed(mode, snap, E, n_kf, window, ver)
+                else:
+                    self._solve_full(mode, snap, E, n_kf, ver)
+            finally:
+                self.settings = old
+            return
         # windowing: bound the number of free poses (see __init__) when
         # local_opt.window_size is set.  (The r3-era clamp that kept
         # `solver: auto` off the PCG route is gone: the on-chip PCG GN
         # divergence was root-caused to the f32 Sim(3) exp retraction and
         # fixed in r4 — see lie/sim3.exp and GlobalGNSettings.)
-        window = self.window_size
+        window = self._effective_window()
         if window and (n_kf - self.settings.pin) > window:
             self._solve_windowed(mode, snap, E, n_kf, window, ver)
             return
+        self._solve_full(mode, snap, E, n_kf, ver)
+
+    def _effective_window(self) -> int:
+        """Solve window, clamped to the keyframe-paging residency guarantee:
+        with `engine.device_keyframes` set, only the `keep_recent` newest
+        keyframes are guaranteed resident, so a solve may free at most that
+        many poses (the paging memory plan IMPLIES windowing — the windowed
+        route re-materialises evicted pinned-context keyframes on demand,
+        the full route cannot)."""
+        window = self.window_size
+        if self.keyframes.paging:
+            window = min(window or 10 ** 9, self.keyframes.keep_recent)
+        return window
+
+    def _prepare_residency(self, mode: str):
+        """Before snapshotting for a solve under paging: re-materialise
+        every keyframe the solve will touch (window + pinned context
+        endpoints of surviving edges) and mark the old context sticky so
+        repeated solves don't thrash upload/evict."""
+        kf = self.keyframes
+        if not kf.paging:
+            return
+        n_now = len(kf)
+        window = self._effective_window()
+        E = self.n_edges
+        if not (window and (n_now - self.settings.pin) > window) or E == 0:
+            return
+        s0 = n_now - window
+        ii_e = self.ii[:E]
+        jj_e = self.jj[:E]
+        keep = (ii_e >= s0) | (jj_e >= s0)
+        refs = np.unique(np.concatenate([ii_e[keep], jj_e[keep]]))
+        kf.sticky = {int(r) for r in refs if r < s0}
+        kf.ensure_resident(
+            list(int(r) for r in refs) + list(range(s0, n_now))
+        )
+
+    def _solve_full(self, mode: str, snap, E: int, n_kf: int, ver):
         # bucket floors trade a little padded compute early in a session for
         # far fewer (Epad, Ppad) jit signatures — each distinct pair is a
         # separate solve compile (20-40 s on the remote TPU compile service,
@@ -569,6 +874,19 @@ class FactorGraph:
         ii2[half : half + E] = self.jj[:E]
         jj2[half : half + E] = self.ii[:E]
 
+        if self.keyframes.paging:
+            # the full-graph path indexes the paged pointmap arrays by POSE
+            # index — only valid on the identity prefix.  Paging sizes
+            # (keep_recent < device budget) route past-identity sessions to
+            # the windowed solve, so this is a config invariant, not a
+            # runtime branch.
+            sl = snap.slot_of[:n_kf]
+            assert np.array_equal(sl, np.arange(n_kf, dtype=sl.dtype)), (
+                "full-graph solve with non-identity keyframe paging; set "
+                "local_opt.window_size <= engine keep_recent (see "
+                "_effective_window)"
+            )
+
         idx, valid, Q = _expand_two_way(
             self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
             self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii, E, half,
@@ -576,7 +894,7 @@ class FactorGraph:
 
         if self._cache_usable(half):
             self._refresh_gcache(E, half, ver, snap, mode)
-            Twc_new, iters, ok = gauss_newton_poses_cached(
+            Twc_new, iters, ok, diverged = gauss_newton_poses_cached(
                 snap.T_WC[:Ppad],
                 snap.X[:Ppad],
                 snap.C[:Ppad],
@@ -599,14 +917,55 @@ class FactorGraph:
             Cs = snap.C[:Ppad] / jnp.maximum(
                 snap.n_fused[:Ppad, None, None].astype(jnp.float32), 1.0
             )
-            Twc_new, iters, ok = self._dispatch_solve(
+            Twc_new, iters, ok, diverged = self._dispatch_solve(
                 Twc, Xs, Cs, ii2, jj2, idx, valid, Q, self.settings, mode
             )
+        self._record_health(diverged, Ppad)
         # write back optimized poses for all real keyframes except pinned
-        # (brief lock + generation check inside)
+        # (brief lock + generation check inside; a diverged solve's poses
+        # are the last GOOD iterate — the guard reverted the bad step)
         self.keyframes.write_back_poses(
             self.settings.pin, n_kf, snap.generation, Twc_new
         )
+
+    # ------------------------------------------------------------------
+    # solver health guard (VERDICT r4 item 6)
+    # ------------------------------------------------------------------
+
+    def _record_health(self, diverged, Ppad: int, pin: int = None):
+        """Keep the GN loop's `diverged` flag for the next solve to check —
+        but only when this solve ROUTED TO PCG (the dense Cholesky path is
+        damping-guaranteed PD and isfinite-checked; recording it too would
+        cost every small session a per-task fetch for nothing).  Mirrors
+        the static routing predicate in ops.global_gn._gn_core (P is the
+        padded pose count there as well)."""
+        pin = self.settings.pin if pin is None else pin
+        routed_pcg = self.settings.solver == "pcg" or (
+            self.settings.solver == "auto"
+            and (Ppad - pin) > self.settings.dense_max_poses
+        )
+        if routed_pcg:
+            self._health_pending = diverged
+
+    def _consume_health(self) -> bool:
+        """True iff the PREVIOUS PCG-routed solve diverged (its bad step was
+        already reverted on device).  The flag buffer has been ready since
+        that solve finished, so this fetch overlaps the current task's
+        queued device work instead of stalling on compute."""
+        if self._health_pending is None:
+            return False
+        div = bool(np.asarray(self._health_pending))
+        self._health_pending = None
+        if div:
+            self.n_recoveries += 1
+            import sys as _sys
+
+            print(
+                "global GN: monotone-cost guard tripped on the PCG route; "
+                "demoting this solve to windowed-dense",
+                file=_sys.stderr,
+            )
+        return div
 
     # ------------------------------------------------------------------
     # gathered-point cache
@@ -672,8 +1031,8 @@ class FactorGraph:
             snap.X,
             snap.C,
             self.K,
-            jnp.asarray(ii_e[pos]),
-            jnp.asarray(jj_e[pos]),
+            jnp.asarray(snap.slot_of[ii_e[pos]]),
+            jnp.asarray(snap.slot_of[jj_e[pos]]),
             self.idx_ii2jj[pos_j],
             self.idx_jj2ii[pos_j],
             pos_j,
@@ -785,7 +1144,12 @@ class FactorGraph:
             jnp.asarray(kidx), jnp.asarray(kmask),
         )
 
-        sel_j = jnp.asarray(sel)
+        # paged arrays are indexed by device slot; _prepare_residency
+        # uploaded every selected keyframe before solve() snapshotted
+        sel_slots = snap.slot_of[sel]
+        assert (sel_slots >= 0).all(), "windowed solve selected an evicted keyframe"
+        sel_j = jnp.asarray(sel_slots)
+        pose_sel = jnp.asarray(sel)  # pose-side state stays logically indexed
         settings = self.settings._replace(pin=pinpad)
         cache_cap = _bucket(E, 4)
         if self._cache_usable(cache_cap):
@@ -797,11 +1161,11 @@ class FactorGraph:
             among[kept] = True
             self._refresh_gcache(E, cache_cap, ver, snap, mode, among=among)
             kidx_j = jnp.asarray(kidx)
-            Twc_new, iters, ok = gauss_newton_poses_cached(
-                snap.T_WC[sel_j],
+            Twc_new, iters, ok, diverged = gauss_newton_poses_cached(
+                snap.T_WC[pose_sel],
                 snap.X[sel_j],
                 snap.C[sel_j],
-                snap.n_fused[sel_j],
+                snap.n_fused[pose_sel],
                 jnp.asarray(ii2),
                 jnp.asarray(jj2),
                 self._gf[kidx_j],
@@ -815,17 +1179,22 @@ class FactorGraph:
                 mode,
             )
         else:
-            Twc = snap.T_WC[sel_j]
+            Twc = snap.T_WC[pose_sel]
             Xs = snap.X[sel_j]
             Cs = snap.C[sel_j] / jnp.maximum(
-                snap.n_fused[sel_j][:, None, None].astype(jnp.float32), 1.0
+                snap.n_fused[pose_sel][:, None, None].astype(jnp.float32), 1.0
             )
-            Twc_new, iters, ok = self._dispatch_solve(
+            Twc_new, iters, ok, diverged = self._dispatch_solve(
                 Twc, Xs, Cs, ii2, jj2, idx, valid, Q, settings, mode
             )
+        self._record_health(diverged, Ppad, pin=pinpad)
         self.keyframes.write_back_poses(
             s0, n_kf, snap.generation, Twc_new, src_offset=pinpad
         )
+        # long-video memory bound: retire old-old edges once the window has
+        # moved past them (paging engines always; optable via edge_recycle)
+        if self.keyframes.paging or bool(self.lcfg.get("edge_recycle", False)):
+            self._recycle_old_edges(s0)
 
 
 class MatchKwargs(dict):

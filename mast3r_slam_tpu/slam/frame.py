@@ -191,25 +191,34 @@ class Frame:
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def _scatter_kf_state(X, C, nf, nu, sc, idx, Xn, Cn, nfn, nun, scn):
-    return (X.at[idx].set(Xn), C.at[idx].set(Cn), nf.at[idx].set(nfn),
+def _scatter_kf_state(X, C, nf, nu, sc, slot, idx, Xn, Cn, nfn, nun, scn):
+    # X/C are PAGED arrays indexed by device slot; the scalar state arrays
+    # are always-resident, indexed by logical keyframe index
+    return (X.at[slot].set(Xn), C.at[slot].set(Cn), nf.at[idx].set(nfn),
             nu.at[idx].set(nun), sc.at[idx].set(jnp.asarray(scn, sc.dtype)))
 
 
 @jax.jit
-def _kf_slices(X, C, nf, nu, sc, T, feat, pos, idx):
-    return (X[idx], C[idx], nf[idx], nu[idx], sc[idx], T[idx],
-            feat[idx][None], pos[idx][None])
+def _kf_slices(X, C, nf, nu, sc, T, feat, pos, slot, idx):
+    return (X[slot], C[slot], nf[idx], nu[idx], sc[idx], T[idx],
+            feat[slot][None], pos[slot][None])
 
 
 @jax.jit
-def _kf_slices_pm(X, C, nf, nu, sc, T, idx):
-    return X[idx], C[idx], nf[idx], nu[idx], sc[idx], T[idx]
+def _kf_slices_pm(X, C, nf, nu, sc, T, slot, idx):
+    return X[slot], C[slot], nf[idx], nu[idx], sc[idx], T[idx]
 
 
 @jax.jit
-def _kf_slices_feat(feat, pos, idx):
-    return feat[idx][None], pos[idx][None]
+def _kf_slices_feat(feat, pos, slot):
+    return feat[slot][None], pos[slot][None]
+
+
+@jax.jit
+def _upload_rows(X, C, feat, pos, slot, Xn, Cn, featn, posn):
+    """Re-materialise one evicted keyframe's paged rows (one dispatch)."""
+    return (X.at[slot].set(Xn), C.at[slot].set(Cn),
+            feat.at[slot].set(featn), pos.at[slot].set(posn))
 
 
 class KeyframeSnapshot(NamedTuple):
@@ -221,6 +230,12 @@ class KeyframeSnapshot(NamedTuple):
     is what lets backend tasks run LOCK-FREE on hundreds-of-ms device work:
     the reference holds its RLock only around ring-buffer accesses for the
     same reason (frame.py:222, main.py:225).
+
+    ``slot_of`` maps logical keyframe index -> device slot of the PAGED
+    arrays (X, C, feat, pos); -1 = evicted to host.  The mapping is copied
+    under the lock, so it is consistent with the array references even if
+    a concurrent eviction swaps slots afterwards (the snapshot's immutable
+    arrays still hold the pre-eviction rows).
     """
 
     n: int
@@ -234,6 +249,7 @@ class KeyframeSnapshot(NamedTuple):
     feat: jnp.ndarray
     pos: jnp.ndarray
     K: Optional[jnp.ndarray]
+    slot_of: np.ndarray
 
 
 class Keyframes:
@@ -253,7 +269,8 @@ class Keyframes:
     """
 
     def __init__(self, capacity: int, num_pixels: int, num_patches: int,
-                 feat_dim: int, dtype=jnp.float32, device=None):
+                 feat_dim: int, dtype=jnp.float32, device=None,
+                 device_budget: int = 0, keep_recent: int = 64):
         self.capacity = capacity
         self.num_pixels = num_pixels
         self.n = 0
@@ -266,15 +283,36 @@ class Keyframes:
         # the data split that lets the two frame halves run on two chips.
         self.device = device
         self._dev = (lambda a: jax.device_put(a, device)) if device else (lambda a: a)
+        # long-video memory plan (VERDICT r4 item 3): the PAGED arrays
+        # (X, C, feat, pos — ~6 MB/keyframe at production scale) live in a
+        # fixed pool of `device_budget` slots; keyframes outside the solve
+        # window whose slots are needed are EVICTED to host RAM and
+        # re-uploaded on demand (loop closure / reloc to an old keyframe).
+        # 0 = unbounded residency (the paged arrays grow with capacity —
+        # the pre-r5 behaviour).  Scalar state (poses, counters) is tiny
+        # and always resident.  `keep_recent`: the newest keyframes are
+        # never evicted (must cover the solve window).
+        self.paging = bool(device_budget)
+        self.dcap = min(device_budget, capacity) if self.paging else capacity
+        self.keep_recent = keep_recent
+        # graph-managed: old keyframes referenced as pinned context by
+        # current window edges — evicting them would thrash (re-upload
+        # every solve); correctness never depends on this set
+        self.sticky: set = set()
+        self.slot_of = np.full((capacity,), -1, dtype=np.int32)
+        self._slot_owner = np.full((self.dcap,), -1, dtype=np.int32)
+        self._free_slots = set(range(self.dcap))
+        self._host_rows: dict = {}  # idx -> dict(X, C, feat, pos, ver)
+        self.n_evictions = 0
         self.frame_id = np.full((capacity,), -1, dtype=np.int64)
         self.T_WC = self._dev(jnp.tile(sim3.identity(dtype=dtype), (capacity, 1)))
-        self.X = self._dev(jnp.zeros((capacity, num_pixels, 3), dtype=dtype))
-        self.C = self._dev(jnp.zeros((capacity, num_pixels, 1), dtype=dtype))
+        self.X = self._dev(jnp.zeros((self.dcap, num_pixels, 3), dtype=dtype))
+        self.C = self._dev(jnp.zeros((self.dcap, num_pixels, 1), dtype=dtype))
         self.n_fused = self._dev(jnp.zeros((capacity,), dtype=jnp.int32))
         self.n_updates = self._dev(jnp.zeros((capacity,), dtype=jnp.int32))
         self.score = self._dev(jnp.full((capacity,), -jnp.inf, dtype=dtype))
-        self.feat = jnp.zeros((capacity, num_patches, feat_dim), dtype=dtype)
-        self.pos = jnp.zeros((capacity, num_patches, 2), dtype=jnp.int32)
+        self.feat = jnp.zeros((self.dcap, num_patches, feat_dim), dtype=dtype)
+        self.pos = jnp.zeros((self.dcap, num_patches, 2), dtype=jnp.int32)
         self.K: Optional[jnp.ndarray] = None
         # host-side per-keyframe POINTMAP version counter: bumped on every
         # X/C mutation (set_frame / update_pointmap).  Consumers that cache
@@ -310,7 +348,142 @@ class Keyframes:
                 feat=self.feat,
                 pos=self.pos,
                 K=self.K,
+                slot_of=self.slot_of.copy(),
             )
+
+    # ------------------------------------------------------------------
+    # paging (VERDICT r4 item 3 — long-video memory plan)
+    # ------------------------------------------------------------------
+
+    def device_bytes(self) -> int:
+        """Bytes of the store's device arrays (the plateau the paging
+        policy bounds; asserted by tests/test_paging.py)."""
+        return sum(
+            a.size * a.dtype.itemsize
+            for a in (self.X, self.C, self.feat, self.pos, self.T_WC,
+                      self.n_fused, self.n_updates, self.score)
+        )
+
+    def _alloc_slot(self, idx: int, protect=()) -> int:
+        """Find a device slot for keyframe `idx` (caller holds the lock).
+
+        Prefers slot == idx so the mapping stays IDENTITY until the pool
+        is actually contended — the full-graph solve indexes the paged
+        arrays by pose index and relies on the identity prefix (asserted
+        at the call site; windowed solves translate explicitly)."""
+        if not self._free_slots:
+            victim = self._pick_victim(protect)
+            if victim is None:
+                # soft budget: nothing evictable (window wider than the
+                # pool) — grow the paged arrays rather than deadlock
+                print(
+                    "keyframe paging: no evictable keyframe; growing the "
+                    f"device pool past budget ({self.dcap} slots)"
+                )
+                self._grow_paged(self.dcap * 2)
+            else:
+                self._evict_locked(victim)
+        slot = idx if idx in self._free_slots else min(self._free_slots)
+        self._free_slots.remove(slot)
+        self.slot_of[idx] = slot
+        self._slot_owner[slot] = idx
+        return slot
+
+    def _pick_victim(self, protect=()):
+        """Oldest resident keyframe outside keep-recent / sticky / protect."""
+        recent_floor = self.n - self.keep_recent
+        owners = self._slot_owner[self._slot_owner >= 0]
+        cands = [
+            int(i) for i in np.sort(owners)
+            if i < recent_floor and i not in self.sticky and i not in protect
+        ]
+        return cands[0] if cands else None
+
+    def _evict_locked(self, idx: int):
+        """Move keyframe `idx`'s paged rows to host RAM and free its slot.
+        The device->host fetch is skipped when the host copy is already
+        current (version-stamped) — re-evicting an immutable old keyframe
+        after a transient re-upload costs nothing."""
+        slot = int(self.slot_of[idx])
+        ver = int(self.pm_version[idx])
+        h = self._host_rows.get(idx)
+        if h is None or h["ver"] != ver:
+            self._host_rows[idx] = dict(
+                X=np.asarray(self.X[slot]),
+                C=np.asarray(self.C[slot]),
+                feat=np.asarray(self.feat[slot]),
+                pos=np.asarray(self.pos[slot]),
+                ver=ver,
+            )
+        self.slot_of[idx] = -1
+        self._slot_owner[slot] = -1
+        self._free_slots.add(slot)
+        self.n_evictions += 1
+
+    def ensure_resident(self, idxs) -> None:
+        """Upload any evicted keyframes in `idxs` back into device slots
+        (loop-closure / reloc to old keyframes, windowed-solve pinned
+        context).  No-op for resident keyframes; correctness of concurrent
+        readers is unaffected (snapshots stay self-consistent)."""
+        idxs = [int(i) for i in idxs]
+        with self.lock:
+            protect = set(idxs)
+            for idx in sorted(idxs):
+                if idx >= self.n or self.slot_of[idx] >= 0:
+                    continue
+                h = self._host_rows[idx]
+                slot = self._alloc_slot(idx, protect=protect)
+                self.X, self.C, self.feat, self.pos = _upload_rows(
+                    self.X, self.C, self.feat, self.pos, slot,
+                    self._dev(jnp.asarray(h["X"])),
+                    self._dev(jnp.asarray(h["C"])),
+                    jnp.asarray(h["feat"]),
+                    jnp.asarray(h["pos"]),
+                )
+
+    def is_resident(self, idx: int) -> bool:
+        return self.slot_of[idx] >= 0
+
+    def pointmap_np(self, idx: int):
+        """(X, C_raw) of one keyframe as numpy, resident or evicted —
+        for export/viz/checkpoint readers that walk the whole map."""
+        with self.lock:
+            slot = int(self.slot_of[idx])
+            if slot >= 0:
+                return np.asarray(self.X[slot]), np.asarray(self.C[slot])
+            h = self._host_rows[idx]
+            return h["X"], h["C"]
+
+    def feat_np(self, idx: int):
+        """(feat, pos) of one keyframe as numpy, resident or evicted."""
+        with self.lock:
+            slot = int(self.slot_of[idx])
+            if slot >= 0:
+                return np.asarray(self.feat[slot]), np.asarray(self.pos[slot])
+            h = self._host_rows[idx]
+            return h["feat"], h["pos"]
+
+    def _grow_paged(self, new_dcap: int):
+        """Grow the paged arrays (no-paging capacity growth, or the soft-
+        budget escape hatch).  Caller holds the lock."""
+        new_dcap = min(new_dcap, max(self.capacity, new_dcap))
+        pad = new_dcap - self.dcap
+        if pad <= 0:
+            return
+
+        def grow(a, fill=0):
+            pad_widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, pad_widths, constant_values=fill)
+
+        self.X = grow(self.X)
+        self.C = grow(self.C)
+        self.feat = grow(self.feat)
+        self.pos = grow(self.pos)
+        self._slot_owner = np.concatenate(
+            [self._slot_owner, np.full(pad, -1, np.int32)]
+        )
+        self._free_slots.update(range(self.dcap, new_dcap))
+        self.dcap = new_dcap
 
     def write_back_poses(self, start: int, n_snapshot: int, generation: int,
                          T_new, src_offset: int = None) -> bool:
@@ -365,21 +538,23 @@ class Keyframes:
         self.T_WC = jnp.concatenate(
             [self.T_WC, jnp.tile(sim3.identity(dtype=self.T_WC.dtype), (pad, 1))]
         )
-        self.X = grow(self.X)
-        self.C = grow(self.C)
         self.n_fused = grow(self.n_fused)
         self.n_updates = grow(self.n_updates)
         self.score = grow(self.score, fill=-jnp.inf)
-        self.feat = grow(self.feat)
-        self.pos = grow(self.pos)
         self.frame_id = np.concatenate(
             [self.frame_id, np.full((pad,), -1, dtype=np.int64)]
         )
         self.pm_version = np.concatenate(
             [self.pm_version, np.zeros((pad,), dtype=np.int64)]
         )
+        self.slot_of = np.concatenate(
+            [self.slot_of, np.full((pad,), -1, dtype=np.int32)]
+        )
         self.uimgs = self.uimgs + [None] * pad
         self.capacity = new_cap
+        if not self.paging:
+            # unbounded residency: the paged arrays track logical capacity
+            self._grow_paged(new_cap)
 
     def set_frame(self, idx: int, frame: Frame):
         # cast every incoming array at the store boundary: host-side frames
@@ -391,33 +566,45 @@ class Keyframes:
     def _set_frame_locked(self, idx: int, frame: Frame):
         self.frame_id[idx] = frame.frame_id
         self.pm_version[idx] += 1
+        slot = int(self.slot_of[idx])
+        if slot < 0:
+            slot = self._alloc_slot(idx)
+        self._host_rows.pop(idx, None)  # any host copy is now stale
         self.T_WC = self.T_WC.at[idx].set(
             self._dev(jnp.asarray(frame.T_WC, self.T_WC.dtype)))
-        self.X = self.X.at[idx].set(
+        self.X = self.X.at[slot].set(
             self._dev(jnp.asarray(frame.X_canon, self.X.dtype)))
-        self.C = self.C.at[idx].set(
+        self.C = self.C.at[slot].set(
             self._dev(jnp.asarray(frame.C, self.C.dtype)))
         self.n_fused = self.n_fused.at[idx].set(jnp.int32(frame.n_fused))
         self.n_updates = self.n_updates.at[idx].set(jnp.int32(frame.n_updates))
         self.score = self.score.at[idx].set(jnp.float32(frame.score))
-        self.feat = self.feat.at[idx].set(
+        self.feat = self.feat.at[slot].set(
             jnp.asarray(frame.feat[0], self.feat.dtype))
-        self.pos = self.pos.at[idx].set(jnp.asarray(frame.pos[0], self.pos.dtype))
+        self.pos = self.pos.at[slot].set(jnp.asarray(frame.pos[0], self.pos.dtype))
         self.uimgs[idx] = frame.uimg
 
     def get_frame(self, idx: int) -> Frame:
         s = self.snapshot()
+        slot = int(s.slot_of[idx])
+        if slot >= 0:
+            X, C = s.X[slot], s.C[slot]
+            feat, pos = s.feat[slot][None], s.pos[slot][None]
+        else:  # evicted: serve the host copy
+            h = self._host_rows[idx]
+            X, C = jnp.asarray(h["X"]), jnp.asarray(h["C"])
+            feat, pos = jnp.asarray(h["feat"])[None], jnp.asarray(h["pos"])[None]
         return Frame(
             frame_id=int(self.frame_id[idx]),
             img=None,
             T_WC=s.T_WC[idx],
-            X_canon=s.X[idx],
-            C=s.C[idx],
+            X_canon=X,
+            C=C,
             n_fused=int(s.n_fused[idx]),
             n_updates=int(s.n_updates[idx]),
             score=float(s.score[idx]),
-            feat=s.feat[idx][None],
-            pos=s.pos[idx][None],
+            feat=feat,
+            pos=pos,
             K=s.K,
             uimg=self.uimgs[idx],
         )
@@ -428,6 +615,13 @@ class Keyframes:
             # slot identity changed: any in-flight backend write-back against
             # an older snapshot must be rejected
             self.generation += 1
+            slot = int(self.slot_of[self.n])
+            if slot >= 0:
+                self.slot_of[self.n] = -1
+                self._slot_owner[slot] = -1
+                self._free_slots.add(slot)
+            self._host_rows.pop(self.n, None)
+            self.sticky.discard(self.n)
 
     def last_idx(self) -> int:
         return self.n - 1
@@ -447,15 +641,18 @@ class Keyframes:
         # material over the remote tunnel, noise locally but still free)
         with self.lock:
             self.pm_version[idx] += 1
+            self._host_rows.pop(idx, None)  # host copy now stale
+            slot = int(self.slot_of[idx])
+            assert slot >= 0, "update_pointmap on an evicted keyframe"
             if n_updates is not None and score is not None:
                 (self.X, self.C, self.n_fused, self.n_updates,
                  self.score) = _scatter_kf_state(
                     self.X, self.C, self.n_fused, self.n_updates, self.score,
-                    idx, X, C, n_fused, n_updates, score,
+                    slot, idx, X, C, n_fused, n_updates, score,
                 )
                 return
-            self.X = self.X.at[idx].set(X)
-            self.C = self.C.at[idx].set(C)
+            self.X = self.X.at[slot].set(X)
+            self.C = self.C.at[slot].set(C)
             self.n_fused = self.n_fused.at[idx].set(n_fused)
             if n_updates is not None:
                 self.n_updates = self.n_updates.at[idx].set(n_updates)
@@ -468,19 +665,29 @@ class Keyframes:
         In pipeline mode the pointmap side lives on the tracker chip and
         feat/pos on the model chip, so the bundle is two dispatches."""
         s = self.snapshot()
+        slot = int(s.slot_of[idx])
+        assert slot >= 0, "slices() on an evicted keyframe"
         if self.device is None:
             return _kf_slices(s.X, s.C, s.n_fused, s.n_updates, s.score,
-                              s.T_WC, s.feat, s.pos, idx)
+                              s.T_WC, s.feat, s.pos, slot, idx)
         pm = _kf_slices_pm(s.X, s.C, s.n_fused, s.n_updates, s.score,
-                           s.T_WC, idx)
-        ft = _kf_slices_feat(s.feat, s.pos, idx)
+                           s.T_WC, slot, idx)
+        ft = _kf_slices_feat(s.feat, s.pos, slot)
         return (*pm, *ft)
 
     def feat_slices(self, idx: int):
         """(feat[None], pos[None]) at idx — the encoder-token side only
         (one dispatch).  Tokens of an existing slot never mutate."""
         s = self.snapshot()
-        return _kf_slices_feat(s.feat, s.pos, idx)
+        slot = int(s.slot_of[idx])
+        if slot < 0:
+            h = self._host_rows[idx]
+            return jnp.asarray(h["feat"])[None], jnp.asarray(h["pos"])[None]
+        return _kf_slices_feat(s.feat, s.pos, slot)
 
     def average_conf(self, idx: int):
-        return self.C[idx] / jnp.maximum(self.n_fused[idx].astype(self.C.dtype), 1.0)
+        slot = int(self.slot_of[idx])
+        assert slot >= 0, "average_conf() on an evicted keyframe"
+        return self.C[slot] / jnp.maximum(
+            self.n_fused[idx].astype(self.C.dtype), 1.0
+        )

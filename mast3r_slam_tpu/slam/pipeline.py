@@ -76,12 +76,28 @@ class SLAM:
                 self.pipeline = 1
             else:
                 track_device = devs[1]
+        # long-video memory plan (VERDICT r4 item 3): engine.device_keyframes
+        # bounds the device-resident pointmap/token pool; older keyframes
+        # page to host RAM and re-materialise on loop closure/reloc.  The
+        # residency guarantee (keep_recent) must cover the solve window, so
+        # paging implies windowed solves (FactorGraph._effective_window).
+        budget = int(cfg["engine"].get("device_keyframes", 0) or 0)
+        window = int(float(cfg["local_opt"].get("window_size", 0) or 0))
+        # the residency guarantee must leave headroom in the pool for
+        # loop-closure/reloc uploads and pinned context — at most half the
+        # budget (the effective solve window clamps to this)
+        keep_recent = (
+            max(2, min(window if window else budget, budget // 2))
+            if budget else 64
+        )
         self.keyframes = Keyframes(
             capacity=cap,
             num_pixels=N,
             num_patches=model.num_patches,
             feat_dim=model.feat_dim,
             device=track_device,
+            device_budget=budget,
+            keep_recent=keep_recent,
         )
         if K is not None:
             self.keyframes.K = jnp.asarray(K, dtype=jnp.float32)
@@ -375,9 +391,10 @@ class SLAM:
 
         def build():
             s = self.keyframes.snapshot()  # consistent (X, C, T) view
-            X = np.asarray(s.X[kf_idx])
+            slot = int(s.slot_of[kf_idx])  # paged arrays index by slot
+            X = np.asarray(s.X[slot])
             C = np.asarray(
-                s.C[kf_idx] / jnp.maximum(
+                s.C[slot] / jnp.maximum(
                     s.n_fused[kf_idx].astype(s.C.dtype), 1.0)
             ).reshape(-1)
             T = np.asarray(s.T_WC[kf_idx])
@@ -474,6 +491,9 @@ class SLAM:
             item = fetch_q.get()
         fetcher.join()
         self.join_backend()
+        # speculative gate: land any outstanding edge verdicts so
+        # end-of-run observers (live-edge count, checkpoints) are exact
+        self.graph.resolve_pending_verdicts()
         jax.block_until_ready(self.keyframes.T_WC)
         wall = time.time() - t0
 

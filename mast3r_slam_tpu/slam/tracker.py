@@ -272,6 +272,7 @@ def _track_compute_stored(
     Xji, Cji, Dji, Qji,
     frame_X, frame_C, frame_n_fused, frame_n_updates, frame_score,
     kf_Xs, kf_Cs, kf_nfs, kf_nus, kf_scs, T_WCs,   # FULL store arrays
+    kf_slot,
     kf_idx,
     T_WCf,
     idx_init,
@@ -283,12 +284,14 @@ def _track_compute_stored(
     per-frame slice dispatch (material over a ~10 ms/dispatch remote
     tunnel; free locally — inputs are read-only references, XLA fuses the
     dynamic-slice into the consumers).  Semantically identical to
-    slices() + `_track_compute`."""
+    slices() + `_track_compute`.  ``kf_slot`` indexes the PAGED arrays
+    (X/C — device slot under keyframe paging), ``kf_idx`` the always-
+    resident scalar state (frame.py Keyframes paging)."""
     return _track_compute(
         ts, img_hw,
         Xii, Cii, Dii, Qii, Xji, Cji, Dji, Qji,
         frame_X, frame_C, frame_n_fused, frame_n_updates, frame_score,
-        kf_Xs[kf_idx], kf_Cs[kf_idx], kf_nfs[kf_idx], kf_nus[kf_idx],
+        kf_Xs[kf_slot], kf_Cs[kf_slot], kf_nfs[kf_idx], kf_nus[kf_idx],
         kf_scs[kf_idx], T_WCf, T_WCs[kf_idx], idx_init, K,
     )
 
@@ -413,6 +416,7 @@ class FrameTracker:
             jnp.asarray(frame.score, dtype=jnp.float32),
             snap.X, snap.C, snap.n_fused, snap.n_updates, snap.score,
             snap.T_WC,
+            jnp.asarray(int(snap.slot_of[kf_idx]), dtype=jnp.int32),
             jnp.asarray(kf_idx, dtype=jnp.int32),
             jax.device_put(frame.T_WC, dev) if dev is not None else frame.T_WC,
             self.idx_f2k,

@@ -53,8 +53,9 @@ def render_topdown(
     n = len(keyframes)
     pts, cols = [], []
     for i in range(n):
-        pW = np.asarray(sim3.act(keyframes.T_WC[i], keyframes.X[i]))
-        conf = np.asarray(keyframes.average_conf(i)).reshape(-1)
+        X_np, C_np = keyframes.pointmap_np(i)  # paging-aware
+        pW = np.asarray(sim3.act(keyframes.T_WC[i], jnp.asarray(X_np)))
+        conf = (C_np / max(float(keyframes.n_fused[i]), 1.0)).reshape(-1)
         sel = conf > conf_threshold
         uimg = keyframes.uimgs[i]
         npix = pW.shape[0]

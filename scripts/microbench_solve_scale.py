@@ -82,11 +82,11 @@ def main():
                                  max_iters=args.iters)
             try:
                 t0 = time.time()
-                T, iters, ok = gauss_newton_poses(*jargs, s, "rays")
+                T, iters, ok, _ = gauss_newton_poses(*jargs, s, "rays")
                 np.asarray(T[0])
                 compile_s = time.time() - t0
                 t0 = time.time()
-                T, iters, ok = gauss_newton_poses(*jargs, s, "rays")
+                T, iters, ok, _ = gauss_newton_poses(*jargs, s, "rays")
                 np.asarray(T[0])
                 run_s = time.time() - t0
                 err = np.linalg.norm(np.asarray(T)[:, :3] - gt[:, :3], axis=-1)

@@ -67,13 +67,13 @@ def solve_production_scale():
                 s = GlobalGNSettings(edge_batch=eb, max_iters=2,
                                      solver="dense", hg_impl=impl)
                 t0 = time.time()
-                T, iters, ok = gauss_newton_poses(*args, s, "rays")
+                T, iters, ok, _ = gauss_newton_poses(*args, s, "rays")
                 np.asarray(T[0])
                 compile_s = time.time() - t0
                 times = []
                 for _ in range(3):
                     t0 = time.time()
-                    T, iters, ok = gauss_newton_poses(*args, s, "rays")
+                    T, iters, ok, _ = gauss_newton_poses(*args, s, "rays")
                     np.asarray(T[0])
                     times.append(time.time() - t0)
                 print(
@@ -182,7 +182,7 @@ def pcg_loop_diag():
         for mi in (1, 2, 3, 4):
             s = GlobalGNSettings(edge_batch=64, solver="pcg", max_iters=mi,
                                  pcg_precond=precond)
-            T, it, ok = gauss_newton_poses(*args, s, "rays")
+            T, it, ok, _ = gauss_newton_poses(*args, s, "rays")
             err = np.linalg.norm(
                 np.asarray(T)[:, :3] - gt[:, :3], axis=-1
             ).mean()

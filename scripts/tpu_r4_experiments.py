@@ -190,7 +190,7 @@ def pcg():
                 edge_batch=64, solver="pcg", max_iters=6, pcg_precond=precond
             )
             t0 = time.time()
-            T, iters, ok = gauss_newton_poses(
+            T, iters, ok, _ = gauss_newton_poses(
                 jnp.asarray(noisy), jnp.asarray(Xs), jnp.asarray(Cs),
                 jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx),
                 jnp.asarray(valid), jnp.asarray(Q),
@@ -263,7 +263,7 @@ def cache():
 
     # uncached full solve
     def run_uncached():
-        T, it, ok = gauss_newton_poses(Twc, Xs, Cs, *args_common)
+        T, it, ok, _ = gauss_newton_poses(Twc, Xs, Cs, *args_common)
         return T
 
     _fence(run_uncached())
@@ -288,7 +288,7 @@ def cache():
     jj2_d = jnp.asarray(jj2)
 
     def run_cached():
-        T, it, ok = gauss_newton_poses_cached(
+        T, it, ok, _ = gauss_newton_poses_cached(
             Twc, Xs, C_raw, nf, ii2_d, jj2_d,
             gf, gb, idx2, valid, Q,
             jnp.eye(3, dtype=jnp.float32), (H, W), s, "rays",
@@ -440,7 +440,7 @@ def pcg2():
                     edge_batch=64, solver="pcg", max_iters=iters,
                     pcg_damping=damp, hg_impl=hg,
                 )
-                T, it, ok = gauss_newton_poses(
+                T, it, ok, _ = gauss_newton_poses(
                     jnp.asarray(noisy), jnp.asarray(Xs), jnp.asarray(Cs),
                     jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx),
                     jnp.asarray(valid), jnp.asarray(Q),

@@ -19,19 +19,35 @@ from mast3r_slam_tpu.lie import sim3
 class PlaneScene:
     """A few textured planes + camera intrinsics + descriptor field."""
 
-    def __init__(self, img_hw=(48, 64), seed=0):
+    def __init__(self, img_hw=(48, 64), seed=0, closed=False):
         self.H, self.W = img_hw
         f = 0.8 * self.W
         self.K = np.array(
             [[f, 0, self.W / 2], [0, f, self.H / 2], [0, 0, 1.0]], dtype=np.float32
         )
         rng = np.random.default_rng(seed)
-        # planes: n . x = c  (floor + back wall + side wall), world frame
+        # planes: n . x = c (floor + back wall + side wall), world frame.
+        # Rays missing every plane become depth-10 "sky" pixels with NO
+        # consistent world point — past ~2.3 rad of yaw most of the image
+        # is geometric garbage and tracking/BA degenerate CHAOTICALLY
+        # (r5 finding: the old drifty-loop scenarios all sat in that
+        # regime, so their ATEs were coin flips).  ``closed=True`` seals
+        # the box with three more walls so every viewing direction from
+        # any interior pose hits real geometry — required for turnaround /
+        # full-rotation trajectories.  Default stays open: the box change
+        # shifts keyframe cadence, and the forward-arc test fixtures'
+        # thresholds are calibrated against the open scene.
         self.planes = [
             (np.array([0.0, 1.0, 0.0]), 1.0),    # y = 1 (floor below)
             (np.array([0.0, 0.0, 1.0]), 4.0),    # z = 4 (back wall)
             (np.array([1.0, 0.0, 0.0]), 3.0),    # x = 3 (side wall)
         ]
+        if closed:
+            self.planes += [
+                (np.array([-1.0, 0.0, 0.0]), 3.0),   # x = -3 (other side)
+                (np.array([0.0, -1.0, 0.0]), 3.0),   # y = -3 (ceiling)
+                (np.array([0.0, 0.0, -1.0]), 4.0),   # z = -4 (behind)
+            ]
         # smooth random-Fourier descriptor field over world points
         self.Wd = rng.normal(size=(24, 3)).astype(np.float32) * 2.0
         self.bd = rng.uniform(0, 2 * np.pi, size=(24,)).astype(np.float32)
@@ -108,7 +124,16 @@ class OracleModel:
         return feat, pos
 
     def _fid(self, feat) -> int:
-        return int(round(float(feat[0, 0, 0])))
+        import jax as _jax
+
+        if isinstance(feat, _jax.Array) and not feat.is_fully_addressable:
+            # multi-process mesh runs shard the decode batch across
+            # processes; the host-side oracle gathers the id it needs
+            # (tests/test_multihost.py engine e2e)
+            from jax.experimental import multihost_utils
+
+            feat = multihost_utils.process_allgather(feat, tiled=True)
+        return int(round(float(np.asarray(feat).reshape(-1)[0])))
 
     def _view(self, fid: int):
         T = self.gt[fid]

@@ -19,7 +19,7 @@ from test_sharded_ba import _rays_problem
 
 def _solve(impl, args, n_iters=5):
     s = GlobalGNSettings(edge_batch=4, hg_impl=impl, max_iters=n_iters)
-    T, it, ok = gauss_newton_poses(*args, s, "rays")
+    T, it, ok, _ = gauss_newton_poses(*args, s, "rays")
     return np.asarray(T), bool(ok)
 
 

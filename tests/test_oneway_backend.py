@@ -309,3 +309,75 @@ def test_solve_recovers_through_oneway_factors(tracked_scene):
     err_after = np.linalg.norm(after[:, :3] - clean[:, :3], axis=-1).mean()
     kf.T_WC = kf.T_WC.at[:n].set(jnp.asarray(clean))  # restore for other tests
     assert err_after < 0.3 * err_before, (err_before, err_after)
+
+
+def _out_and_back(n_out: int, max_angle: float = 1.2):
+    """Loopy trajectory: out along the arc, then back the same way — the
+    return pass overlaps old keyframes, so retrieval proposes real loop
+    closures whose factors must correct accumulated drift.  Requires the
+    CLOSED oracle box (the turnaround sweeps viewing directions the open
+    scene renders as inconsistent sky — see PlaneScene)."""
+    out = arc_trajectory(n_out, radius=0.6, max_angle=max_angle)
+    return np.concatenate([out, out[::-1][1:]], axis=0)
+
+
+def _run_drifty(oneway: bool, gt, noise=0.004):
+    import jax
+
+    from mast3r_slam_tpu.eval.trajectory import umeyama_alignment
+    from mast3r_slam_tpu.retrieval import RetrievalDatabase
+    from mast3r_slam_tpu.retrieval.asmk import ASMKSettings
+    from mast3r_slam_tpu.retrieval.head import (
+        RetrievalHeadSettings,
+        init_head_params,
+    )
+
+    scene = PlaneScene(HW, closed=True)  # turnaround-valid geometry
+    model = OracleModel(scene, gt, noise=noise)
+    cfg = load_config("speed")
+    cfg["local_opt"]["oneway_nonconsec"] = oneway
+    cfg["engine"]["keyframe_buffer"] = 64
+    cfg["engine"]["edge_buffer"] = 64
+    cfg["single_thread"] = True
+
+    params = init_head_params(jax.random.key(0), model.feat_dim, hdims=(8,))
+    centroids = jax.random.normal(jax.random.key(1), (64, 8)) * 0.3
+    retrieval = RetrievalDatabase(
+        params, centroids, RetrievalHeadSettings(nfeat=8),
+        ASMKSettings(capacity=64 * 8, max_images=64),
+    )
+    slam = SLAM(model, cfg, HW, retrieval=retrieval)
+    result = slam.run(OracleDataset(len(gt), HW), verbose=False)
+
+    est = result.frame_poses[:, :3]
+    gt_t = gt[: len(est), :3]
+    s, R, t = umeyama_alignment(est, gt_t)
+    aligned = (s * (R @ est.T)).T + t
+    ate = float(np.sqrt(np.mean(np.linalg.norm(aligned - gt_t, axis=-1) ** 2)))
+    n_e = slam.graph.n_edges
+    slam.graph.resolve_pending_verdicts()
+    nonconsec = sum(
+        1 for e in range(n_e)
+        if slam.graph.ii[e] != slam.graph.jj[e] - 1 and slam.graph.edge_live[e]
+    )
+    return ate, nonconsec
+
+
+@pytest.mark.slow
+def test_oneway_ate_matches_symmetric_on_drifty_loop():
+    """VERDICT r4 item 5: on a drift-heavy out-and-back scene where
+    one-way loop-closure factors must correct ACCUMULATED error (2x the
+    usual oracle noise over a 24-keyframe-out chain, loop closures on the
+    return pass), the oneway profile's ATE must stay within ~1.1x of the
+    symmetric profile's — the previous e2e sat at the quantization floor
+    and could not see an accuracy regression.  Closed-box scene: the old
+    open scene made the turnaround a chaotic-garbage regime where both
+    arms failed identically and the comparison was vacuous (r5)."""
+    gt = _out_and_back(24)
+    ate_sym, lc_sym = _run_drifty(False, gt)
+    ate_one, lc_one = _run_drifty(True, gt)
+    # both runs must actually exercise loop closures
+    assert lc_sym >= 1 and lc_one >= 1
+    # drift is REAL at this noise (well above the quantization floor)
+    assert ate_sym > 0.005, f"scene not drifty enough: {ate_sym}"
+    assert ate_one <= 1.1 * ate_sym + 1e-3, (ate_one, ate_sym)

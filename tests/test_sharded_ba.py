@@ -78,7 +78,7 @@ def _calib_problem(n_kf=4, hw=(24, 32), noise=0.01, seed=0):
 def test_global_gn_rays_recovers_gt():
     gt, noisy, Xs, Cs, ii, jj, idx, valid, Q = _rays_problem()
     settings = GlobalGNSettings(edge_batch=4)
-    Twc, iters, ok = gauss_newton_poses(
+    Twc, iters, ok, _ = gauss_newton_poses(
         jnp.asarray(noisy), jnp.asarray(Xs), jnp.asarray(Cs),
         jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx), jnp.asarray(valid),
         jnp.asarray(Q), jnp.eye(3, dtype=jnp.float32), (1, Xs.shape[1]),
@@ -93,7 +93,7 @@ def test_global_gn_rays_recovers_gt():
 def test_global_gn_calib_recovers_gt():
     K, hw, gt, noisy, Xs, Cs, ii, jj, idx, valid, Q = _calib_problem()
     settings = GlobalGNSettings(edge_batch=4)
-    Twc, iters, ok = gauss_newton_poses(
+    Twc, iters, ok, _ = gauss_newton_poses(
         jnp.asarray(noisy), jnp.asarray(Xs), jnp.asarray(Cs),
         jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx), jnp.asarray(valid),
         jnp.asarray(Q), jnp.asarray(K), hw, settings, "calib",
@@ -131,13 +131,13 @@ def test_sharded_matches_single_device(mode):
         jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx),
         jnp.asarray(valid), jnp.asarray(Q), jnp.asarray(K), hw, settings, mode,
     )
-    Twc_ref, _, ok_ref = gauss_newton_poses(*args)
+    Twc_ref, _, ok_ref, _ = gauss_newton_poses(*args)
 
     (Twc0, Xs_d, Cs_d) = replicate(mesh, args[0], args[1], args[2])
     (ii_d, jj_d, idx_d, valid_d, Q_d) = shard_edges(
         mesh, args[3], args[4], args[5], args[6], args[7]
     )
-    Twc_sh, _, ok_sh = gauss_newton_poses_sharded(
+    Twc_sh, _, ok_sh, _ = gauss_newton_poses_sharded(
         mesh, Twc0, Xs_d, Cs_d, ii_d, jj_d, idx_d, valid_d, Q_d,
         jnp.asarray(K), hw, settings, mode,
     )
@@ -151,7 +151,7 @@ def test_global_gn_points_recovers_gt():
     """Point-to-point mode (point_align_kernel equivalent)."""
     gt, noisy, Xs, Cs, ii, jj, idx, valid, Q = _rays_problem()
     settings = GlobalGNSettings(edge_batch=4)
-    Twc, iters, ok = gauss_newton_poses(
+    Twc, iters, ok, _ = gauss_newton_poses(
         jnp.asarray(noisy), jnp.asarray(Xs), jnp.asarray(Cs),
         jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx), jnp.asarray(valid),
         jnp.asarray(Q), jnp.eye(3, dtype=jnp.float32), (1, Xs.shape[1]),

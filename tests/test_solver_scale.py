@@ -37,8 +37,8 @@ def test_pcg_matches_dense_rays():
     )
     dense = GlobalGNSettings(edge_batch=4, solver="dense")
     pcg = GlobalGNSettings(edge_batch=4, solver="pcg")
-    Td, _, okd = gauss_newton_poses(*args, dense, "rays")
-    Tp, _, okp = gauss_newton_poses(*args, pcg, "rays")
+    Td, _, okd, _ = gauss_newton_poses(*args, dense, "rays")
+    Tp, _, okp, _ = gauss_newton_poses(*args, pcg, "rays")
     assert bool(okd) and bool(okp)
     # both recover ground truth
     assert _pose_err(Td, gt).max() < 5e-3
@@ -62,7 +62,7 @@ def test_auto_policy_switches_at_knee():
     # knee above the problem size -> dense; below -> pcg.  Both must solve.
     for knee in (64, 2):
         s = GlobalGNSettings(edge_batch=4, solver="auto", dense_max_poses=knee)
-        T, _, ok = gauss_newton_poses(*args, s, "rays")
+        T, _, ok, _ = gauss_newton_poses(*args, s, "rays")
         assert bool(ok)
         assert _pose_err(T, gt).max() < 5e-3, knee
 
@@ -102,7 +102,7 @@ def test_soak_1024_pose_graph_pcg():
     # O(E)-memory path itself
     s = GlobalGNSettings(edge_batch=64, solver="pcg",
                          max_iters=4)
-    T, iters, ok = gauss_newton_poses(
+    T, iters, ok, _ = gauss_newton_poses(
         jnp.asarray(noisy), jnp.asarray(Xs), jnp.asarray(Cs),
         jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx),
         jnp.asarray(valid), jnp.asarray(Q),

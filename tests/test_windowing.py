@@ -119,7 +119,7 @@ def test_windowed_matches_pinned_full_solve():
     valid = np.ones((2 * E, N, 1), bool)
     Q = np.full((2 * E, N, 1), 2.0, np.float32)
     s = GlobalGNSettings(edge_batch=4, pin=M - W, solver="dense")
-    T_ref, _, ok = gauss_newton_poses(
+    T_ref, _, ok, _ = gauss_newton_poses(
         jnp.asarray(noisy), jnp.asarray(Xs),
         jnp.full((M, N, 1), 2.0, jnp.float32),
         jnp.asarray(ii2), jnp.asarray(jj2), jnp.asarray(idx),
