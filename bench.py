@@ -277,6 +277,13 @@ def _system_bench(params, mcfg, speed_cfg, hw, n_frames: int = 72,
             counter["i"] += 1
             new_kf = counter["i"] % 6 == 0
             if new_kf:
+                # capture the match products like the real track_finish
+                # does on a keyframe decision, so the backend's
+                # reuse_tracker_match path (speed.yaml) runs in the bench
+                slam.tracker.last_match_capture = (
+                    kf_idx, out["idx_f2k"], out["match_valid"],
+                    out["match_Q"],
+                )
                 slam.tracker.reset_idx_f2k()
             return new_kf, False
 
