@@ -516,26 +516,55 @@ class SLAM:
         """Host-pipelined frontend loop (engine.pipeline: 1 single-chip /
         2 two-chip; VERDICT r2 item 3 + r4 item 1).
 
-        For frame i the host issues, in order, WITHOUT blocking between:
-          1. encode(i) + speculative decode(i) vs the current keyframe
-             — async dispatches, the device starts frame i;
-          2. track_finish(i-1): the ONE blocking readback per frame — the
-             16-float stats vector (decision scalars + pose) for the
-             PREVIOUS frame.  Its tunnel round-trip overlaps the device
-             executing step 1's work.  May append a keyframe / flip mode;
-          3. track_submit(i): re-decodes if the keyframe switched in step 2
-             (speculation corrected exactly -> identical trajectories),
-             then enqueues `_track_compute(i)` — which overlaps step 1 of
-             frame i+1.
-        With pipeline: 2, step 3 additionally places `_track_compute` on a
-        second chip so the two halves of the frame run concurrently; the
-        dispatch-ordering benefit above is placement-independent and is
-        worth far more over a high-latency tunnel than the second chip.
+        Depth-2 submit-ahead (single-chip mode): for frame i the host
+        issues, in order, WITHOUT blocking between:
+          1. encode(i) + speculative decode(i) vs the current keyframe;
+          2. track_submit_chained(i): `_track_compute(i)` dispatched
+             CHAINED on frame i-1's device outputs (post-fusion keyframe
+             state, pose and match warm starts) — no host readback needed
+             first, so the device queue always holds the NEXT frame's full
+             work while the host blocks;
+          3. track_finish(i-1): the ONE blocking readback per frame — a
+             program dispatched a whole iteration earlier, so the wait is
+             bounded by device throughput, not dispatch+RTT latency.
+        The chain speculates a clean non-keyframe commit at i-1; on a
+        keyframe switch / reloc / GN failure the stale chained submit is
+        DISCARDED and re-run through the normal store path (exactly the
+        sequential math -> identical trajectories; ~1 in keyframe-cadence
+        frames pays the old latency).  With pipeline: 2 (two-chip
+        placement) the loop keeps the depth-1 shape: finish(i-1) before
+        submit(i), speculative decode corrected on keyframe switches.
         INIT/RELOC frames drain the pipeline and run sequentially.
         """
-        pending = None   # (frame_idx, timestamp, tracker pending)
-        prev_frame = None
+        from collections import deque
+
+        pend = deque()  # (frame_idx, timestamp, tracker pending), oldest 1st
+        chain_ok = self.tracker.compute_device is None
+        last_done = None  # most recent frame with a committed/host pose
         item = None
+
+        def finish_oldest():
+            nonlocal last_done
+            i0, ts0, p0 = pend.popleft()
+            new_kf, try_reloc = self.tracker.track_finish(p0)
+            self._after_track(p0[0], ts0, new_kf, try_reloc)
+            last_done = p0[0]
+            if (new_kf or try_reloc) and pend:
+                # the chained submit(s) speculated a clean non-keyframe
+                # commit at i0 — discard and re-run with the true state
+                stale = list(pend)
+                pend.clear()
+                for ij, tsj, pj in stale:
+                    fj = pj[0]
+                    if self.mode != Mode.TRACKING:
+                        # reloc flipped the mode: fj re-enters untracked
+                        self._process_nontracking(fj, tsj)
+                        last_done = fj
+                        continue
+                    fj.T_WC = last_done.T_WC  # warm start from the commit
+                    fj.T_WC_np = None
+                    pend.append((ij, tsj, self.tracker.track_submit(fj)))
+
         while True:
             item = fetch_q.get()
             if item is None:
@@ -544,41 +573,49 @@ class SLAM:
                 break
             i, timestamp, pre = item
             with self.timer.time("frame.latency"):
-                frame = self.ingest_rgb(i, timestamp, pre=pre)  # chip 0
-                speculative = None
+                frame = self.ingest_rgb(i, timestamp, pre=pre)
+                chained = False
                 if self.mode == Mode.TRACKING:
                     with self.timer.time("pipeline.spec_decode"):
-                        speculative = self.tracker.infer(frame)  # chip 0, async
-
-                if pending is not None:
-                    with self.timer.time("pipeline.finish_prev"):
-                        pi, pts, pend = pending
-                        new_kf, try_reloc = self.tracker.track_finish(pend)
-                        self._after_track(pend[0], pts, new_kf, try_reloc)
-                        # no extra fence: the stats readback inside
-                        # track_finish blocks on the whole `_track_compute`
-                        # program (all outputs of one jit complete together)
-                        # and already carried the pose for _log
-                    pending = None
-
-                if prev_frame is not None:
-                    frame.T_WC = prev_frame.T_WC  # warm-start pose (last_T)
-                if self.mode == Mode.TRACKING:
-                    with self.timer.time("pipeline.submit"):
-                        pend = self.tracker.track_submit(frame, inference=speculative)
-                    pending = (i, timestamp, pend)
+                        speculative = self.tracker.infer(frame)
+                    last_idx = self.keyframes.last_idx()
+                    if (chain_ok and pend and pend[-1][2][1] == last_idx
+                            and speculative[0] == last_idx):
+                        with self.timer.time("pipeline.submit"):
+                            pend.append((i, timestamp,
+                                         self.tracker.track_submit_chained(
+                                             frame, speculative, pend[-1][2])))
+                        chained = True
+                        # keep at most one finished-behind frame in flight
+                        while len(pend) > 2:
+                            with self.timer.time("pipeline.finish_prev"):
+                                finish_oldest()
+                if chained:
+                    while len(pend) > 1:
+                        with self.timer.time("pipeline.finish_prev"):
+                            finish_oldest()
                 else:
-                    # INIT / RELOC: sequential semantics (pipeline drained
-                    # above because mode flips happen in track_finish)
-                    self._process_nontracking(frame, timestamp)
-            prev_frame = frame
+                    # need the previous decision before submitting (first
+                    # tracked frame, two-chip mode, or a mode flip): drain,
+                    # then the classic submit path
+                    while pend:
+                        with self.timer.time("pipeline.finish_prev"):
+                            finish_oldest()
+                    if self.mode == Mode.TRACKING:
+                        if last_done is not None:
+                            frame.T_WC = last_done.T_WC  # warm-start pose
+                        with self.timer.time("pipeline.submit"):
+                            pend.append((i, timestamp, self.tracker.track_submit(
+                                frame, inference=speculative)))
+                    else:
+                        # INIT / RELOC: sequential semantics
+                        self._process_nontracking(frame, timestamp)
+                        last_done = frame
             if verbose and i % 30 == 0 and i > 0:
                 fps = i / (time.time() - t0)
                 print(f"frame {i}/{n}  kf={len(self.keyframes)}  {fps:.2f} fps")
-        if pending is not None:
-            pi, pts, pend = pending
-            new_kf, try_reloc = self.tracker.track_finish(pend)
-            self._after_track(pend[0], pts, new_kf, try_reloc)
+        while pend:
+            finish_oldest()
         return item  # None = fetcher exhausted; otherwise terminated early
 
     def _process_nontracking(self, frame: Frame, timestamp):

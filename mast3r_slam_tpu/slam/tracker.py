@@ -265,6 +265,43 @@ def _track_compute(
 
 
 @partial(jax.jit, static_argnames=("ts", "img_hw"))
+def _track_compute_chained(
+    ts: TrackerSettings,
+    img_hw: Tuple[int, int],
+    Xii, Cii, Dii, Qii,
+    Xji, Cji, Dji, Qji,
+    kf_X, kf_C, kf_nf, kf_nu, kf_sc,   # PREVIOUS pending's post-fusion state
+    T_WCs,                             # store poses (kf pose sliced in-jit)
+    kf_idx,
+    T_WCf,                             # previous pending's T_WCf (device)
+    idx_init,                          # previous pending's idx_f2k (device)
+    K,
+):
+    """`_track_compute` chained on the PREVIOUS pending frame's device
+    outputs (depth-2 submit-ahead, VERDICT r4 item 1 follow-up): the next
+    frame's tracking program is dispatched without waiting for the previous
+    frame's decision readback.  Inputs are bitwise the values the
+    sequential loop would pass when the previous frame commits WITHOUT a
+    keyframe switch / reloc / GN failure — the pipelined loop re-submits
+    through the normal store path on any other outcome, so trajectories
+    stay identical.  The fresh frame's canonical state is its defaults
+    (X zeros / C zeros / counts 0 / score -inf — Frame dataclass)."""
+    H, W = img_hw
+    N = H * W
+    zX = jnp.zeros((N, 3), jnp.float32)
+    zC = jnp.zeros((N, 1), jnp.float32)
+    return _track_compute(
+        ts, img_hw,
+        Xii, Cii, Dii, Qii, Xji, Cji, Dji, Qji,
+        zX, zC,
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        jnp.asarray(-jnp.inf, jnp.float32),
+        kf_X, kf_C, kf_nf, kf_nu, kf_sc,
+        T_WCf, T_WCs[kf_idx], idx_init, K,
+    )
+
+
+@partial(jax.jit, static_argnames=("ts", "img_hw"))
 def _track_compute_stored(
     ts: TrackerSettings,
     img_hw: Tuple[int, int],
@@ -420,6 +457,43 @@ class FrameTracker:
             jnp.asarray(kf_idx, dtype=jnp.int32),
             jax.device_put(frame.T_WC, dev) if dev is not None else frame.T_WC,
             self.idx_f2k,
+            K,
+        )
+        return frame, kf_idx, out
+
+    def track_submit_chained(self, frame: Frame, inference, prev_pending):
+        """Depth-2 submit-ahead: issue `_track_compute` for `frame` chained
+        on the PREVIOUS pending frame's device outputs — post-fusion
+        keyframe state, new pose (warm start) and match indices — without
+        any host readback in between.
+
+        Exact (bitwise the sequential values) when the previous frame's
+        decision turns out to be a clean non-keyframe commit; the engine
+        discards and re-submits through :meth:`track_submit` otherwise
+        (keyframe switch ~1 in cadence frames, reloc/GN-fail rare).
+        `inference` must target the same keyframe as `prev_pending`.
+        Returns (frame, kf_idx, out) like :meth:`track_submit`."""
+        _, kf_idx, pout = prev_pending
+        kf = self.keyframes
+        K = kf.K if self.ts.use_calib else jnp.eye(3, dtype=jnp.float32)
+        (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = inference[1]
+        # only the keyframe POSE is read from the store (a backend
+        # write-back may land between frames — the sequential loop would
+        # see it too); the pointmap-side keyframe state chains on the
+        # previous program's outputs, which ARE the values its commit
+        # scatter stores
+        snap = kf.snapshot()
+        out = _track_compute_chained(
+            self.ts,
+            self.img_hw,
+            Xii, Cii, Dii, Qii,
+            Xji, Cji, Dji, Qji,
+            pout["kf_X"], pout["kf_C"], pout["kf_n_fused"],
+            pout["kf_n_updates"], pout["kf_score"],
+            snap.T_WC,
+            jnp.asarray(kf_idx, dtype=jnp.int32),
+            pout["T_WCf"],
+            pout["idx_f2k"],
             K,
         )
         return frame, kf_idx, out

@@ -65,3 +65,40 @@ def test_reloc_recovers_from_teleport():
     # compare relative to the first-frame anchor (gauge is pinned at kf0)
     err = np.linalg.norm(post - gt_post, axis=-1)
     assert err.max() < 0.15, err
+
+
+@pytest.mark.slow
+def test_reloc_parity_pipelined():
+    """The depth-2 submit-ahead loop (engine.pipeline: 1) must produce the
+    SEQUENTIAL trajectory through a tracking failure + relocalization: the
+    chained submit speculated past the failing frame is discarded and the
+    frame replays through the RELOC path (pipeline.finish_oldest drain)."""
+    scene = PlaneScene(HW)
+    gt = teleport_trajectory()
+    n = len(gt)
+
+    def run(pipeline):
+        model = OracleModel(scene, gt, noise=0.002)
+        cfg = load_config("base")
+        cfg["engine"]["keyframe_buffer"] = 64
+        cfg["engine"]["edge_buffer"] = 64
+        cfg["engine"]["pipeline"] = pipeline
+        cfg["single_thread"] = True
+        cfg["reloc"]["strict"] = False
+        params = init_head_params(jax.random.key(0), model.feat_dim, hdims=(8,))
+        centroids = jax.random.normal(jax.random.key(1), (64, 8)) * 0.3
+        retrieval = RetrievalDatabase(
+            params, centroids, RetrievalHeadSettings(nfeat=8),
+            ASMKSettings(capacity=64 * 8, max_images=64),
+        )
+        slam = SLAM(model, cfg, HW, retrieval=retrieval)
+        return slam.run(OracleDataset(n, HW), verbose=False)
+
+    res_seq = run(0)
+    res_pipe = run(1)
+    assert res_pipe.n_reloc == res_seq.n_reloc >= 1
+    assert res_pipe.n_reloc_success == res_seq.n_reloc_success >= 1
+    assert res_pipe.n_keyframes == res_seq.n_keyframes
+    np.testing.assert_allclose(
+        res_pipe.frame_poses, res_seq.frame_poses, rtol=0, atol=1e-6
+    )
