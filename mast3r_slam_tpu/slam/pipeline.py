@@ -539,7 +539,11 @@ class SLAM:
         from collections import deque
 
         pend = deque()  # (frame_idx, timestamp, tracker pending), oldest 1st
-        chain_ok = self.tracker.compute_device is None
+        # engine.chain: false forces the depth-1 loop (A/B instrumentation;
+        # single-chip only — two-chip placement is always depth-1)
+        chain_ok = self.tracker.compute_device is None and bool(
+            self.cfg["engine"].get("chain", True)
+        )
         last_done = None  # most recent frame with a committed/host pose
         item = None
 
