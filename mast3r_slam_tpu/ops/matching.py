@@ -457,10 +457,16 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
     gx, gy = img_gradient_nhwc(rays)  # NHWC-native: no layout transposes
     rays_with_grad = jnp.concatenate([rays, gx, gy], axis=-1)  # (B, H, W, 9)
 
-    X21_vec = X21.reshape(B, H * W, 3)
+    # the SOURCE side (X21 rows) may be a strided/subset grid smaller than
+    # the target image (backend pixel budget) — row count is X21's own
+    X21_vec = X21.reshape(B, -1, 3)
     pts3d_norm = vnormalize(X21_vec)
 
     if idx_1_to_2_init is None:
+        assert X21_vec.shape[1] == H * W, (
+            "a subset/strided source needs an explicit idx_1_to_2_init "
+            "(its pixels' own linear indices in the TARGET grid)"
+        )
         idx_1_to_2_init = jnp.broadcast_to(
             jnp.arange(H * W, dtype=jnp.int32), (B, H * W)
         )
@@ -543,8 +549,9 @@ def refine_matches_gated(D11, D21, p1, converged, radius: int = 3,
       descriptor snap at ~1/4 the gather bytes.  0 skips the level.
     """
     B, H, W, F = D11.shape
-    N = H * W
+    N = D21.shape[1]  # source ROW count (may be a strided subset grid)
     budget = max(int(N * budget_frac) // 128 * 128, 128)
+    budget = min(budget, N)
     if subset_dilations is None:
         subset_dilations = tuple(range(dilation_max, 1, -1))
     if final_radius is None:
@@ -636,11 +643,11 @@ def match(
     p1 = p1.astype(jnp.int32)
 
     # occlusion check: 3D distance between matched points
-    dists = vnorm(X11_at - X21.reshape(B, H * W, 3), keepdims=False)
+    dists = vnorm(X11_at - X21.reshape(B, -1, 3), keepdims=False)
     valid = valid_proj & (dists < dist_thresh)
 
     if radius > 0:
-        D21_flat = D21.reshape(B, H * W, -1)
+        D21_flat = D21.reshape(B, X21.reshape(B, -1, 3).shape[1], -1)
         if refine_gate == "converged":
             p1 = refine_matches_gated(
                 D11, D21_flat, p1, valid_proj, radius=radius,

@@ -261,6 +261,14 @@ class FactorGraph:
         # recycled by _recycle_old_edges, reused before growing the arrays
         self._free_edge_rows: List[int] = []
         self.n_edges_recycled = 0
+        # backend pixel budget (local_opt.pixel_stride, default 1 =
+        # reference-exact): match factor-graph edges on an s-strided source
+        # grid — N/s^2 per-pixel LM problems + descriptor windows per edge,
+        # scattered back into the full-shape edge fields (rows off the
+        # strided grid carry valid=False; the solve sees a sparser but
+        # statistically equivalent constraint set).  The tracker always
+        # matches at full resolution.
+        self._pstride = max(1, int(self.lcfg.get("pixel_stride", 1)))
 
     # ------------------------------------------------------------------
     # add factors
@@ -441,6 +449,7 @@ class FactorGraph:
             res,
             float(self.lcfg["Q_conf"]),
             self._match_kwargs(),
+            self._pstride,
         )
 
     def _gate_store_symmetric(self, out, ii_arr, jj_arr,
@@ -496,7 +505,8 @@ class FactorGraph:
             snap.feat[sjj], snap.pos[sjj],
         )
         return _add_factors_forward(
-            self.img_hw, res, float(self.lcfg["Q_conf"]), self._match_kwargs()
+            self.img_hw, res, float(self.lcfg["Q_conf"]),
+            self._match_kwargs(), self._pstride,
         )
 
     def _store_reuse(self, out, ii_arr, jj_arr, captures) -> bool:
@@ -1216,8 +1226,9 @@ class MatchKwargs(dict):
         return isinstance(other, MatchKwargs) and self._key == other._key
 
 
-@partial(jax.jit, static_argnames=("img_hw", "mk"))
-def _add_factors_compute(img_hw, res, Q_conf, mk: MatchKwargs):
+@partial(jax.jit, static_argnames=("img_hw", "mk", "stride"))
+def _add_factors_compute(img_hw, res, Q_conf, mk: MatchKwargs,
+                         stride: int = 1):
     """Two-way matching + Q aggregation for B edges — ONE dispatch.
 
     Mirrors mast3r_match_symmetric (mast3r_utils.py:142-180) + the Q
@@ -1234,17 +1245,18 @@ def _add_factors_compute(img_hw, res, Q_conf, mk: MatchKwargs):
             sl = tuple(
                 tuple(x[b : b + 1] for x in quad) for quad in res
             )
-            return _add_factors_pair(img_hw, sl, Q_conf, mk)
+            return _add_factors_pair(img_hw, sl, Q_conf, mk, stride)
 
         outs = [pair(b) for b in range(B)]
         return {
             k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]
         }
-    return _add_factors_pair(img_hw, res, Q_conf, mk)
+    return _add_factors_pair(img_hw, res, Q_conf, mk, stride)
 
 
-@partial(jax.jit, static_argnames=("img_hw", "mk"))
-def _add_factors_forward(img_hw, res, Q_conf, mk: MatchKwargs):
+@partial(jax.jit, static_argnames=("img_hw", "mk", "stride"))
+def _add_factors_forward(img_hw, res, Q_conf, mk: MatchKwargs,
+                         stride: int = 1):
     """Forward-only (i -> j) matching + Q aggregation for B candidate pairs
     in ONE dispatch (the `local_opt.oneway_nonconsec` path).
 
@@ -1258,22 +1270,67 @@ def _add_factors_forward(img_hw, res, Q_conf, mk: MatchKwargs):
             sl = tuple(
                 tuple(x[b : b + 1] for x in quad) for quad in res
             )
-            return _forward_pair(img_hw, sl, Q_conf, mk)
+            return _forward_pair(img_hw, sl, Q_conf, mk, stride)
 
         outs = [pair(b) for b in range(B)]
         return {
             k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]
         }
-    return _forward_pair(img_hw, res, Q_conf, mk)
+    return _forward_pair(img_hw, res, Q_conf, mk, stride)
 
 
-def _forward_pair(img_hw, res, Q_conf, mk: MatchKwargs):
+def _strided_rows(img_hw, stride):
+    """Linear indices (in the FULL grid) of the s-strided source pixels —
+    both the matcher's warm-start init and the scatter positions of the
+    backend pixel budget (local_opt.pixel_stride)."""
+    H, W = img_hw
+    r = (
+        (jnp.arange(0, H, stride, dtype=jnp.int32) * W)[:, None]
+        + jnp.arange(0, W, stride, dtype=jnp.int32)[None, :]
+    )
+    return r.reshape(-1)
+
+
+def _scatter_rows(rows, N, idx_s, valid_s, Q_s):
+    """Strided matcher outputs -> full-shape edge fields (off-grid rows
+    carry valid False / Q 0 — exact zero-weight in the solve)."""
+    B = idx_s.shape[0]
+    idx = jnp.zeros((B, N), jnp.int32).at[:, rows].set(idx_s)
+    valid = jnp.zeros((B, N, 1), bool).at[:, rows].set(valid_s)
+    Q = jnp.zeros((B, N, 1), jnp.float32).at[:, rows].set(
+        jnp.asarray(Q_s, jnp.float32))
+    return idx, valid, Q
+
+
+def _forward_pair(img_hw, res, Q_conf, mk: MatchKwargs, stride: int = 1):
     H, W = img_hw
     N = H * W
     res_ii, res_ji = res
     Xii, _, Dii, Qii = res_ii
     Xji, _, Dji, Qji = res_ji
     B = Xii.shape[0]
+
+    if stride > 1:
+        rows = _strided_rows(img_hw, stride)
+        init = jnp.broadcast_to(rows, (B, rows.shape[0]))
+        idx_s, valid_s = matching.match(
+            Xii, Xji[:, ::stride, ::stride], Dii, Dji[:, ::stride, ::stride],
+            idx_1_to_2_init=init, **mk,
+        )
+        Qii_f = Qii.reshape(B, N, 1)
+        Qji_s = Qji[:, ::stride, ::stride].reshape(B, -1, 1)
+        Qj_s = jnp.sqrt(
+            jnp.take_along_axis(Qii_f, idx_s[..., None], axis=1) * Qji_s
+        )
+        vj_s = valid_s & (Qj_s > Q_conf)
+        match_frac_j = jnp.mean(vj_s.astype(jnp.float32), axis=(1, 2))
+        idx_i2j, valid_j, Qj = _scatter_rows(rows, N, idx_s, valid_s, Qj_s)
+        return dict(
+            idx_i2j=idx_i2j,
+            valid_j=valid_j,
+            Qj=Qj,
+            match_frac_j=match_frac_j,
+        )
 
     idx_i2j, valid_j = matching.match(Xii, Xji, Dii, Dji, **mk)
 
@@ -1290,7 +1347,7 @@ def _forward_pair(img_hw, res, Q_conf, mk: MatchKwargs):
     )
 
 
-def _add_factors_pair(img_hw, res, Q_conf, mk: MatchKwargs):
+def _add_factors_pair(img_hw, res, Q_conf, mk: MatchKwargs, stride: int = 1):
     H, W = img_hw
     N = H * W
     res_ii, res_ji, res_jj, res_ij = res
@@ -1301,8 +1358,50 @@ def _add_factors_pair(img_hw, res, Q_conf, mk: MatchKwargs):
 
     B = Xii.shape[0]
     X11 = jnp.concatenate([Xii, Xjj], axis=0)
-    X21 = jnp.concatenate([Xji, Xij], axis=0)
     D11 = jnp.concatenate([Dii, Djj], axis=0)
+
+    if stride > 1:
+        # backend pixel budget: s-strided source rows for BOTH directions,
+        # scattered back into full-shape fields (see _forward_pair)
+        rows = _strided_rows(img_hw, stride)
+        init = jnp.broadcast_to(rows, (2 * B, rows.shape[0]))
+        X21 = jnp.concatenate(
+            [Xji[:, ::stride, ::stride], Xij[:, ::stride, ::stride]], axis=0
+        )
+        D21 = jnp.concatenate(
+            [Dji[:, ::stride, ::stride], Dij[:, ::stride, ::stride]], axis=0
+        )
+        idx_s, valid_s = matching.match(
+            X11, X21, D11, D21, idx_1_to_2_init=init, **mk
+        )
+        Qii_f = Qii.reshape(B, N, 1)
+        Qjj_f = Qjj.reshape(B, N, 1)
+        Qji_s = Qji[:, ::stride, ::stride].reshape(B, -1, 1)
+        Qij_s = Qij[:, ::stride, ::stride].reshape(B, -1, 1)
+        Qj_s = jnp.sqrt(
+            jnp.take_along_axis(Qii_f, idx_s[:B][..., None], axis=1) * Qji_s
+        )
+        Qi_s = jnp.sqrt(
+            jnp.take_along_axis(Qjj_f, idx_s[B:][..., None], axis=1) * Qij_s
+        )
+        vj_s = valid_s[:B] & (Qj_s > Q_conf)
+        vi_s = valid_s[B:] & (Qi_s > Q_conf)
+        match_frac_j = jnp.mean(vj_s.astype(jnp.float32), axis=(1, 2))
+        match_frac_i = jnp.mean(vi_s.astype(jnp.float32), axis=(1, 2))
+        idx_i2j, valid_j, Qj = _scatter_rows(
+            rows, N, idx_s[:B], valid_s[:B], Qj_s
+        )
+        idx_j2i, valid_i, Qi = _scatter_rows(
+            rows, N, idx_s[B:], valid_s[B:], Qi_s
+        )
+        return dict(
+            idx_i2j=idx_i2j, idx_j2i=idx_j2i,
+            valid_j=valid_j, valid_i=valid_i,
+            Qj=Qj, Qi=Qi,
+            match_frac_j=match_frac_j, match_frac_i=match_frac_i,
+        )
+
+    X21 = jnp.concatenate([Xji, Xij], axis=0)
     D21 = jnp.concatenate([Dji, Dij], axis=0)
 
     idx_1_to_2, valid = matching.match(X11, X21, D11, D21, **mk)
